@@ -1,0 +1,408 @@
+"""BN254 prime-field arithmetic as TPU-native multi-limb uint32 vector ops.
+
+Design: a field element is 16 limbs of 16 bits stored in a uint32 array with
+the limb axis LAST (shape ``[..., 16]``, little-endian limbs), kept in
+Montgomery form (R = 2^256) between operations.  All arithmetic uses only
+uint32 ops (mul/add/and/shift) so it runs natively on the TPU VPU — TPUs have
+no 64-bit integer datapath.  16x16-bit limb products fit exactly in uint32;
+partial products are split into lo/hi halves immediately and accumulated in
+"loose" columns (< 2^23), so carry propagation is deferred to a single
+16/32-step chain per operation.
+
+This module is the jnp reference path; fused Pallas kernels for the hot
+compound ops (sumcheck round folds, MSM inner loops) live in
+``field_pallas.py`` and must match it bit-exactly.
+
+Capability parity: replaces the reference's arkworks ``ark-ff`` BN254 field
+backend (patched ``v0.5.0-optimize-mul-u64``; see SURVEY.md §0) and
+``snarks-core/src/field.rs`` (``FieldExt::TWO_INV``).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field as _dfield
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Limb configuration
+# ---------------------------------------------------------------------------
+
+LIMB_BITS = 16
+NLIMBS = 16  # 256 bits total
+MASK = (1 << LIMB_BITS) - 1
+U32 = jnp.uint32
+
+# BN254 moduli.
+FR_MODULUS = 21888242871839275222246405745257275088548364400416034343698204186575808495617
+FQ_MODULUS = 21888242871839275222246405745257275088696311157297823662689037894645226208583
+
+
+def int_to_limbs(x: int, n: int = NLIMBS) -> np.ndarray:
+    """Python int -> little-endian uint32 limb array of 16-bit digits."""
+    return np.array([(x >> (LIMB_BITS * i)) & MASK for i in range(n)], dtype=np.uint32)
+
+
+def limbs_to_int(limbs) -> int:
+    """uint32 limb vector (last axis) -> Python int. Host-side only."""
+    limbs = np.asarray(limbs)
+    return sum(int(v) << (LIMB_BITS * i) for i, v in enumerate(limbs))
+
+
+@dataclass(frozen=True)
+class FieldSpec:
+    """Static parameters of a prime field in 16x16-bit Montgomery form."""
+
+    name: str
+    modulus: int
+    # Derived constants (host numpy; jnp-converted lazily at trace time).
+    mod_limbs: np.ndarray = _dfield(repr=False, default=None)
+    n0inv: int = 0              # -modulus^{-1} mod 2^16
+    r_mod: int = 0              # R mod modulus (Montgomery form of 1)
+    r2: int = 0                 # R^2 mod modulus
+    r_inv: int = 0              # R^{-1} mod modulus
+    one_mont: np.ndarray = _dfield(repr=False, default=None)
+    r2_limbs: np.ndarray = _dfield(repr=False, default=None)
+    zero: np.ndarray = _dfield(repr=False, default=None)
+    two_inv: int = 0            # (modulus+1)/2 — maps FieldExt::TWO_INV
+
+    def __hash__(self):
+        return hash((self.name, self.modulus))
+
+    def __eq__(self, other):
+        return isinstance(other, FieldSpec) and self.modulus == other.modulus
+
+
+def _make_spec(name: str, modulus: int) -> FieldSpec:
+    R = 1 << (LIMB_BITS * NLIMBS)
+    n0inv = (-pow(modulus, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
+    r_mod = R % modulus
+    r2 = (R * R) % modulus
+    r_inv = pow(R, -1, modulus)
+    return FieldSpec(
+        name=name,
+        modulus=modulus,
+        mod_limbs=int_to_limbs(modulus),
+        n0inv=n0inv,
+        r_mod=r_mod,
+        r2=r2,
+        r_inv=r_inv,
+        one_mont=int_to_limbs(r_mod),
+        r2_limbs=int_to_limbs(r2),
+        zero=np.zeros(NLIMBS, dtype=np.uint32),
+        two_inv=(modulus + 1) // 2,
+    )
+
+
+FR = _make_spec("bn254_fr", FR_MODULUS)
+FQ = _make_spec("bn254_fq", FQ_MODULUS)
+
+
+# ---------------------------------------------------------------------------
+# Carry / borrow chains (the only sequential parts; lengths are static 16/32)
+# ---------------------------------------------------------------------------
+
+
+def _carry_canonicalize(cols, n_out: int):
+    """Propagate carries through loose uint32 columns -> canonical 16-bit digits.
+
+    ``cols``: [..., K] with each entry < 2^32 - slack. Returns ([..., n_out],
+    carry_out) where digits < 2^16.
+    """
+    carry = jnp.zeros(cols.shape[:-1], dtype=U32)
+    outs = []
+    k = cols.shape[-1]
+    for i in range(n_out):
+        v = (cols[..., i] if i < k else jnp.zeros_like(carry)) + carry
+        outs.append(v & MASK)
+        carry = v >> LIMB_BITS
+    return jnp.stack(outs, axis=-1), carry
+
+
+def _sub_limbs(a, b):
+    """a - b over canonical digits; returns (diff canonical, borrow_out in {0,1})."""
+    borrow = jnp.zeros(a.shape[:-1], dtype=U32)
+    outs = []
+    for i in range(NLIMBS):
+        v = a[..., i] - b[..., i] - borrow
+        outs.append(v & MASK)
+        borrow = (v >> 31) & 1  # negative wrapped -> top bit set
+    return jnp.stack(outs, axis=-1), borrow
+
+
+def _add_limbs(a, b):
+    """a + b over canonical digits; returns (sum canonical, carry_out)."""
+    carry = jnp.zeros(a.shape[:-1], dtype=U32)
+    outs = []
+    for i in range(NLIMBS):
+        v = a[..., i] + b[..., i] + carry
+        outs.append(v & MASK)
+        carry = v >> LIMB_BITS
+    return jnp.stack(outs, axis=-1), carry
+
+
+def _select(cond, a, b):
+    """Elementwise select on the leading (batch) shape; cond: [...] bool/int."""
+    return jnp.where(cond[..., None].astype(bool), a, b)
+
+
+# ---------------------------------------------------------------------------
+# Modular ring ops (Montgomery domain)
+# ---------------------------------------------------------------------------
+
+
+def _jit_spec(fn):
+    """jit with the FieldSpec (arg 0) static; keeps eager use fast."""
+    return functools.partial(jax.jit, static_argnums=0)(fn)
+
+
+@_jit_spec
+def add(spec: FieldSpec, a, b):
+    """(a + b) mod m. Canonical in, canonical out."""
+    m = jnp.asarray(spec.mod_limbs)
+    s, carry = _add_limbs(a, b)
+    d, borrow = _sub_limbs(s, jnp.broadcast_to(m, s.shape))
+    # subtract m iff s >= m, i.e. carry_out==1 or no borrow in s-m
+    take_d = jnp.logical_or(carry.astype(bool), jnp.logical_not(borrow.astype(bool)))
+    return _select(take_d, d, s)
+
+
+@_jit_spec
+def sub(spec: FieldSpec, a, b):
+    """(a - b) mod m."""
+    m = jnp.asarray(spec.mod_limbs)
+    d, borrow = _sub_limbs(a, b)
+    dm, _ = _add_limbs(d, jnp.broadcast_to(m, d.shape))
+    return _select(borrow.astype(bool), dm, d)
+
+
+@_jit_spec
+def neg(spec: FieldSpec, a):
+    """(-a) mod m."""
+    m = jnp.asarray(spec.mod_limbs)
+    d, _ = _sub_limbs(jnp.broadcast_to(m, a.shape), a)
+    # m - 0 = m must map back to 0
+    is_zero = jnp.all(a == 0, axis=-1)
+    return _select(is_zero, jnp.zeros_like(a), d)
+
+
+def _mul_columns(a, b):
+    """Schoolbook 16x16-digit product -> 32 loose columns (each < 2^22)."""
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    a = jnp.broadcast_to(a, shape)
+    b = jnp.broadcast_to(b, shape)
+    cols = jnp.zeros(shape[:-1] + (2 * NLIMBS,), dtype=U32)
+    for i in range(NLIMBS):
+        p = a[..., i : i + 1] * b  # [..., 16], each < 2^32
+        lo = p & MASK
+        hi = p >> LIMB_BITS
+        cols = cols.at[..., i : i + NLIMBS].add(lo)
+        cols = cols.at[..., i + 1 : i + 1 + NLIMBS].add(hi)
+    return cols
+
+
+def _redc(spec: FieldSpec, t_digits):
+    """Montgomery reduction of a canonical 32-digit value T < m*R.
+
+    Returns T * R^{-1} mod m as canonical 16 digits.
+    Invariant per iteration i: columns 0..i-1 are exactly zero, column i is
+    canonical mod 2^16 (all lower columns zeroed), higher columns loose < 2^23.
+    """
+    m = jnp.asarray(spec.mod_limbs)
+    n0 = jnp.uint32(spec.n0inv)
+    t = t_digits
+    for i in range(NLIMBS):
+        mi = (t[..., i] * n0) & MASK  # [...]
+        p = mi[..., None] * m  # [..., 16]
+        lo = p & MASK
+        hi = p >> LIMB_BITS
+        t = t.at[..., i : i + NLIMBS].add(lo)
+        t = t.at[..., i + 1 : i + 1 + NLIMBS].add(hi)
+        # column i is now ≡ 0 mod 2^16; push its (exact) carry up and zero it.
+        carry = t[..., i] >> LIMB_BITS
+        t = t.at[..., i + 1].add(carry)
+        t = t.at[..., i].set(0)
+    res, carry = _carry_canonicalize(t[..., NLIMBS:], NLIMBS)
+    # result < 2m (since T < m*R) => at most one subtraction; carry means >= 2^256 > m
+    d, borrow = _sub_limbs(res, jnp.broadcast_to(m, res.shape))
+    take_d = jnp.logical_or(carry.astype(bool), jnp.logical_not(borrow.astype(bool)))
+    return _select(take_d, d, res)
+
+
+@_jit_spec
+def mul(spec: FieldSpec, a, b):
+    """Montgomery product: a * b * R^{-1} mod m. Canonical in/out."""
+    cols = _mul_columns(a, b)
+    t, carry = _carry_canonicalize(cols, 2 * NLIMBS)
+    del carry  # a*b < m^2 < R^2 => fits in 32 digits exactly
+    return _redc(spec, t)
+
+
+def square(spec: FieldSpec, a):
+    return mul(spec, a, a)
+
+
+def mul_small(spec: FieldSpec, a, k: int):
+    """a * k for a small non-Montgomery host constant k (result stays in the
+    same domain as ``a``): computed as repeated addition tree. k must be >= 0."""
+    if k == 0:
+        return jnp.zeros_like(a)
+    acc = None
+    base = a
+    while k:
+        if k & 1:
+            acc = base if acc is None else add(spec, acc, base)
+        k >>= 1
+        if k:
+            base = add(spec, base, base)
+    return acc
+
+
+def to_mont(spec: FieldSpec, a):
+    """Standard -> Montgomery form (a*R mod m). Input canonical < m."""
+    return mul(spec, a, jnp.asarray(spec.r2_limbs))
+
+
+@_jit_spec
+def from_mont(spec: FieldSpec, a):
+    """Montgomery -> standard form (a*R^{-1} mod m)."""
+    t = jnp.zeros(a.shape[:-1] + (2 * NLIMBS,), dtype=U32)
+    t = t.at[..., :NLIMBS].set(a)
+    return _redc(spec, t)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def pow_const(spec: FieldSpec, a, e: int):
+    """a^e for host-known exponent e (square-and-multiply, Montgomery in/out).
+
+    Small exponents unroll; large ones run as a lax.scan over exponent bits
+    (keeps trace size O(1) for the 254-bit Fermat inversion exponent).
+    """
+    if e == 0:
+        return jnp.broadcast_to(jnp.asarray(spec.one_mont), a.shape)
+    if e.bit_length() <= 8:
+        result = None
+        base = a
+        while e:
+            if e & 1:
+                result = base if result is None else mul(spec, result, base)
+            e >>= 1
+            if e:
+                base = square(spec, base)
+        return result
+    bits = jnp.array([(e >> i) & 1 for i in range(e.bit_length())], dtype=U32)
+
+    def body(carry, bit):
+        result, base = carry
+        new_result = _select(
+            jnp.broadcast_to(bit, result.shape[:-1]).astype(bool),
+            mul(spec, result, base),
+            result,
+        )
+        return (new_result, square(spec, base)), None
+
+    init = (jnp.broadcast_to(jnp.asarray(spec.one_mont), a.shape), a)
+    (result, _), _ = jax.lax.scan(body, init, bits)
+    return result
+
+
+def inv(spec: FieldSpec, a):
+    """a^{-1} via Fermat (a^{m-2}). Montgomery in/out. inv(0) = 0."""
+    return pow_const(spec, a, spec.modulus - 2)
+
+
+@_jit_spec
+def batch_inv(spec: FieldSpec, a):
+    """Batched inversion over the leading axis via Montgomery's trick.
+
+    ``a``: [N, 16]. Cost: 3N muls + one Fermat inversion. Entries equal to
+    zero map to zero (matching arkworks' batch_inversion skip semantics).
+    """
+    n = a.shape[0]
+    one = jnp.asarray(spec.one_mont)
+    is_zero = jnp.all(a == 0, axis=-1)
+    safe = _select(is_zero, jnp.broadcast_to(one, a.shape), a)
+
+    def scan_fwd(carry, x):
+        nxt = mul(spec, carry, x)
+        return nxt, carry  # prefix product excluding x
+
+    total, prefix = jax.lax.scan(scan_fwd, one, safe)
+    total_inv = inv(spec, total)
+
+    def scan_bwd(carry, xs):
+        x, pre = xs
+        out = mul(spec, carry, pre)  # inverse of x
+        nxt = mul(spec, carry, x)
+        return nxt, out
+
+    _, invs = jax.lax.scan(scan_bwd, total_inv, (safe, prefix), reverse=True)
+    return _select(is_zero, jnp.zeros_like(a), invs)
+
+
+# ---------------------------------------------------------------------------
+# Host conversions
+# ---------------------------------------------------------------------------
+
+
+def from_int(spec: FieldSpec, values, mont: bool = True):
+    """Python ints / iterable of ints -> device limb array (Montgomery form)."""
+    if isinstance(values, (int, np.integer)):
+        arr = int_to_limbs(int(values) % spec.modulus)
+    else:
+        vs = [int(v) % spec.modulus for v in np.asarray(values, dtype=object).ravel()]
+        arr = np.stack([int_to_limbs(v) for v in vs]).reshape(
+            tuple(np.shape(values)) + (NLIMBS,)
+        )
+    out = jnp.asarray(arr)
+    return to_mont(spec, out) if mont else out
+
+
+def to_int(spec: FieldSpec, limbs, mont: bool = True):
+    """Device limb array -> numpy object array of Python ints (host-side)."""
+    if mont:
+        limbs = from_mont(spec, limbs)
+    arr = np.asarray(limbs)
+    flat = arr.reshape(-1, NLIMBS)
+    ints = np.array([limbs_to_int(row) for row in flat], dtype=object)
+    if arr.ndim == 1:
+        return ints[0]
+    return ints.reshape(arr.shape[:-1])
+
+
+def zeros(shape=()):
+    return jnp.zeros(tuple(shape) + (NLIMBS,), dtype=U32)
+
+
+def ones_mont(spec: FieldSpec, shape=()):
+    return jnp.broadcast_to(jnp.asarray(spec.one_mont), tuple(shape) + (NLIMBS,)).copy()
+
+
+def eq_mask(a, b):
+    """Elementwise equality of field elements -> bool over batch shape."""
+    return jnp.all(a == b, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Random elements (for masks / testing) — uniform via rejection-free wide
+# reduction of 512 random bits with Montgomery folding.
+# ---------------------------------------------------------------------------
+
+
+def random(spec: FieldSpec, key, shape=(), mont: bool = True):
+    """Uniform field elements from a jax PRNG key.
+
+    Draws 2*NLIMBS random 16-bit digits x (< R^2-ish) and computes
+    REDC(x) = x * R^{-1} mod m; for x uniform in [0, R^2) the bias is
+    negligible (~2^-190 for BN254). With ``mont=True`` the output is then the
+    Montgomery form of a (different) uniform value — still uniform.
+    """
+    bits = jax.random.bits(key, tuple(shape) + (2 * NLIMBS,), dtype=jnp.uint32)
+    digits = bits & MASK
+    # cap to 508 bits so T < m*R holds for REDC's "< 2m" output bound
+    digits = digits.at[..., -1].set(digits[..., -1] & 0xFFF)
+    red = _redc(spec, digits)  # uniform standard-domain value
+    return to_mont(spec, red) if mont else red

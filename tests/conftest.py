@@ -1,0 +1,32 @@
+"""Test configuration: force CPU with 8 virtual devices (multi-chip sim).
+
+Mirrors the reference's testing recipe (SURVEY.md §4): simulate all parties /
+workers in one process; here that becomes a virtual 8-device CPU mesh so
+sharding code paths (party/chunk axes, ppermute/psum) are exercised without
+TPU hardware.
+
+NOTE: this environment injects a TPU PJRT plugin via sitecustomize and
+imports jax at interpreter start, so ``JAX_PLATFORMS`` from os.environ is
+already latched — we must override through ``jax.config.update``, and set
+XLA_FLAGS before the CPU client is first created.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import random
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return random.Random(1234)
