@@ -110,38 +110,49 @@ def _carry_canonicalize(cols, n_out: int):
     """Propagate carries through loose uint32 columns -> canonical 16-bit digits.
 
     ``cols``: [..., K] with each entry < 2^32 - slack. Returns ([..., n_out],
-    carry_out) where digits < 2^16.
+    carry_out) where digits < 2^16. lax.scan keeps the trace tiny.
     """
-    carry = jnp.zeros(cols.shape[:-1], dtype=U32)
-    outs = []
     k = cols.shape[-1]
-    for i in range(n_out):
-        v = (cols[..., i] if i < k else jnp.zeros_like(carry)) + carry
-        outs.append(v & MASK)
-        carry = v >> LIMB_BITS
-    return jnp.stack(outs, axis=-1), carry
+    if k < n_out:
+        cols = jnp.concatenate(
+            [cols, jnp.zeros(cols.shape[:-1] + (n_out - k,), dtype=U32)], axis=-1
+        )
+    xs = jnp.moveaxis(cols[..., :n_out], -1, 0)
+
+    def body(carry, x):
+        v = x + carry
+        return v >> LIMB_BITS, v & MASK
+
+    carry, outs = jax.lax.scan(body, jnp.zeros(cols.shape[:-1], dtype=U32), xs)
+    return jnp.moveaxis(outs, 0, -1), carry
 
 
 def _sub_limbs(a, b):
     """a - b over canonical digits; returns (diff canonical, borrow_out in {0,1})."""
-    borrow = jnp.zeros(a.shape[:-1], dtype=U32)
-    outs = []
-    for i in range(NLIMBS):
-        v = a[..., i] - b[..., i] - borrow
-        outs.append(v & MASK)
-        borrow = (v >> 31) & 1  # negative wrapped -> top bit set
-    return jnp.stack(outs, axis=-1), borrow
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    a = jnp.broadcast_to(a, shape)
+    xs = (jnp.moveaxis(a, -1, 0), jnp.moveaxis(jnp.broadcast_to(b, shape), -1, 0))
+
+    def body(borrow, x):
+        v = x[0] - x[1] - borrow
+        return (v >> 31) & 1, v & MASK  # negative wrapped -> top bit set
+
+    borrow, outs = jax.lax.scan(body, jnp.zeros(a.shape[:-1], dtype=U32), xs)
+    return jnp.moveaxis(outs, 0, -1), borrow
 
 
 def _add_limbs(a, b):
     """a + b over canonical digits; returns (sum canonical, carry_out)."""
-    carry = jnp.zeros(a.shape[:-1], dtype=U32)
-    outs = []
-    for i in range(NLIMBS):
-        v = a[..., i] + b[..., i] + carry
-        outs.append(v & MASK)
-        carry = v >> LIMB_BITS
-    return jnp.stack(outs, axis=-1), carry
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    a = jnp.broadcast_to(a, shape)
+    xs = (jnp.moveaxis(a, -1, 0), jnp.moveaxis(jnp.broadcast_to(b, shape), -1, 0))
+
+    def body(carry, x):
+        v = x[0] + x[1] + carry
+        return v >> LIMB_BITS, v & MASK
+
+    carry, outs = jax.lax.scan(body, jnp.zeros(a.shape[:-1], dtype=U32), xs)
+    return jnp.moveaxis(outs, 0, -1), carry
 
 
 def _select(cond, a, b):
@@ -190,42 +201,63 @@ def neg(spec: FieldSpec, a):
 
 
 def _mul_columns(a, b):
-    """Schoolbook 16x16-digit product -> 32 loose columns (each < 2^22)."""
+    """Schoolbook 16x16-digit product -> 32 loose columns (each < 2^22).
+
+    One outer product + a 16-step lax.scan of rolled row contributions.
+    """
     shape = jnp.broadcast_shapes(a.shape, b.shape)
     a = jnp.broadcast_to(a, shape)
     b = jnp.broadcast_to(b, shape)
-    cols = jnp.zeros(shape[:-1] + (2 * NLIMBS,), dtype=U32)
-    for i in range(NLIMBS):
-        p = a[..., i : i + 1] * b  # [..., 16], each < 2^32
-        lo = p & MASK
-        hi = p >> LIMB_BITS
-        cols = cols.at[..., i : i + NLIMBS].add(lo)
-        cols = cols.at[..., i + 1 : i + 1 + NLIMBS].add(hi)
+    pp = a[..., :, None] * b[..., None, :]  # [..., i, j], each < 2^32
+    lo = pp & MASK
+    hi = pp >> LIMB_BITS
+    zeros = jnp.zeros(shape[:-1] + (NLIMBS,), dtype=U32)
+    # row i of lo goes to columns i..i+15, row i of hi to i+1..i+16
+    lo_rows = jnp.moveaxis(jnp.concatenate([lo, zeros[..., None, :]
+                                            .repeat(NLIMBS, axis=-2)], axis=-1), -2, 0)
+    hi_rows = jnp.moveaxis(jnp.concatenate([hi, zeros[..., None, :]
+                                            .repeat(NLIMBS, axis=-2)], axis=-1), -2, 0)
+    idx = jnp.arange(NLIMBS, dtype=jnp.int32)
+
+    def body(cols, x):
+        lo_r, hi_r, i = x
+        cols = cols + jnp.roll(lo_r, i, axis=-1) + jnp.roll(hi_r, i + 1, axis=-1)
+        return cols, None
+
+    cols0 = jnp.zeros(shape[:-1] + (2 * NLIMBS,), dtype=U32)
+    cols, _ = jax.lax.scan(body, cols0, (lo_rows, hi_rows, idx))
     return cols
 
 
 def _redc(spec: FieldSpec, t_digits):
     """Montgomery reduction of a canonical 32-digit value T < m*R.
 
-    Returns T * R^{-1} mod m as canonical 16 digits.
-    Invariant per iteration i: columns 0..i-1 are exactly zero, column i is
-    canonical mod 2^16 (all lower columns zeroed), higher columns loose < 2^23.
+    Returns T * R^{-1} mod m as canonical 16 digits. 16-step lax.scan with a
+    left-shifting window: the current digit is always column 0; each step
+    zeroes it (adds m * mi), pushes its exact carry into column 1, then
+    shifts. Columns stay < 2^23 so uint32 never overflows.
     """
     m = jnp.asarray(spec.mod_limbs)
     n0 = jnp.uint32(spec.n0inv)
-    t = t_digits
-    for i in range(NLIMBS):
-        mi = (t[..., i] * n0) & MASK  # [...]
-        p = mi[..., None] * m  # [..., 16]
+    batch = t_digits.shape[:-1]
+    zeros_hi = jnp.zeros(batch + (NLIMBS,), dtype=U32)
+    zeros_1 = jnp.zeros(batch + (1,), dtype=U32)
+    zeros_15 = jnp.zeros(batch + (NLIMBS - 1,), dtype=U32)
+
+    def body(t, _):
+        mi = (t[..., 0] * n0) & MASK
+        p = mi[..., None] * m
         lo = p & MASK
         hi = p >> LIMB_BITS
-        t = t.at[..., i : i + NLIMBS].add(lo)
-        t = t.at[..., i + 1 : i + 1 + NLIMBS].add(hi)
-        # column i is now ≡ 0 mod 2^16; push its (exact) carry up and zero it.
-        carry = t[..., i] >> LIMB_BITS
-        t = t.at[..., i + 1].add(carry)
-        t = t.at[..., i].set(0)
-    res, carry = _carry_canonicalize(t[..., NLIMBS:], NLIMBS)
+        t = t + jnp.concatenate([lo, zeros_hi], axis=-1)
+        t = t + jnp.concatenate([zeros_1, hi, zeros_15], axis=-1)
+        carry = t[..., 0] >> LIMB_BITS  # column 0 is an exact multiple of 2^16
+        t = jnp.concatenate([t[..., 1:], zeros_1], axis=-1)
+        t = t.at[..., 0].add(carry)
+        return t, None
+
+    t, _ = jax.lax.scan(body, t_digits, None, length=NLIMBS)
+    res, carry = _carry_canonicalize(t[..., :NLIMBS], NLIMBS)
     # result < 2m (since T < m*R) => at most one subtraction; carry means >= 2^256 > m
     d, borrow = _sub_limbs(res, jnp.broadcast_to(m, res.shape))
     take_d = jnp.logical_or(carry.astype(bool), jnp.logical_not(borrow.astype(bool)))
@@ -341,6 +373,66 @@ def batch_inv(spec: FieldSpec, a):
 
     _, invs = jax.lax.scan(scan_bwd, total_inv, (safe, prefix), reverse=True)
     return _select(is_zero, jnp.zeros_like(a), invs)
+
+
+@_jit_spec
+def lazy_reduce(spec: FieldSpec, loose):
+    """Reduce loose uint32 digit columns (value < 2^509) to a canonical element.
+
+    Used for lazily-accumulated sums: add canonical elements digit-wise in
+    uint32 (safe for up to 2^16 terms), then call this once. The represented
+    value's residue mod m is preserved — domains (Montgomery or standard) pass
+    through unchanged since reduction is linear.
+    """
+    k = loose.shape[-1]
+    if k < 2 * NLIMBS:
+        loose = jnp.concatenate(
+            [loose, jnp.zeros(loose.shape[:-1] + (2 * NLIMBS - k,), dtype=U32)],
+            axis=-1,
+        )
+    t, carry = _carry_canonicalize(loose[..., : 2 * NLIMBS], 2 * NLIMBS)
+    del carry  # zero by the value-bound contract
+    v = _redc(spec, t)  # value * R^{-1}
+    return mul(spec, v, jnp.asarray(spec.r2_limbs))  # * R^2 * R^{-1} = value
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def modsum(spec: FieldSpec, arr, axis: int = 0):
+    """Modular sum of canonical elements along ``axis`` (not the limb axis).
+
+    Hierarchical: digit-wise uint32 sums in blocks of 2^14 (safe: 16-bit
+    digits can accumulate 2^16 terms), one lazy reduction per level.
+    """
+    arr = jnp.moveaxis(arr, axis, 0)
+    chunk = 1 << 14
+    while arr.shape[0] > 1:
+        n = arr.shape[0]
+        if n > chunk:
+            nb = -(-n // chunk)
+            pad = nb * chunk - n
+            if pad:
+                arr = jnp.concatenate(
+                    [arr, jnp.zeros((pad,) + arr.shape[1:], dtype=U32)], axis=0
+                )
+            arr = arr.reshape(nb, chunk, *arr.shape[1:])
+            arr = lazy_reduce(spec, jnp.sum(arr, axis=1))
+        else:
+            arr = lazy_reduce(spec, jnp.sum(arr, axis=0))[None]
+    return arr[0]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def segment_modsum(spec: FieldSpec, values, segment_ids, num_segments: int):
+    """Modular segment sum: out[s] = sum of values[i] with segment_ids[i]==s.
+
+    ``values``: [n, 16] canonical; at most 2^16 members per segment.
+    TPU-native replacement for the reference's per-row sparse accumulation
+    loops (noir-r1cs/src/r1cs.rs sparse_dot / co-spartan worker zero_round).
+    """
+    loose = jax.ops.segment_sum(
+        values, segment_ids, num_segments=num_segments
+    )  # [S, 16] u32 digit-wise sums
+    return lazy_reduce(spec, loose)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,96 @@
+"""G1 batched Jacobian ops + MSM vs the Python ground truth."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from co_zkvms_tpu.ops import curve as C
+from co_zkvms_tpu.ops import field as F
+from co_zkvms_tpu.ops import msm as M
+from co_zkvms_tpu.ops import ref_bn254 as bn
+
+
+def ref_points(rng, n):
+    """n pseudo-random G1 points as (point_obj, (x,y) ints)."""
+    pts = []
+    for _ in range(n):
+        k = rng.randrange(1, bn.R_ORDER)
+        pts.append(bn.scalar_mul(bn.G1_GEN, k))
+    return pts
+
+
+def to_device(pts):
+    return C.points_from_ints([bn.g1_coords(p) for p in pts])
+
+
+def test_add_double_matches_reference(rng):
+    pts = ref_points(rng, 8)
+    qts = ref_points(rng, 8)
+    dp = C.from_affine(to_device(pts))
+    dq = C.from_affine(to_device(qts))
+    got = C.points_to_ints(C.to_affine(C.add(dp, dq)))
+    want = [bn.g1_coords(bn.add(p, q)) for p, q in zip(pts, qts)]
+    assert got == want
+    got_d = C.points_to_ints(C.to_affine(C.double(dp)))
+    want_d = [bn.g1_coords(bn.double(p)) for p in pts]
+    assert got_d == want_d
+
+
+def test_add_edge_cases(rng):
+    p = ref_points(rng, 1)[0]
+    dp = C.from_affine(to_device([p]))
+    inf = C.infinity((1,))
+    # p + inf = p; inf + p = p
+    assert C.points_to_ints(C.to_affine(C.add(dp, inf))) == [bn.g1_coords(p)]
+    assert C.points_to_ints(C.to_affine(C.add(inf, dp))) == [bn.g1_coords(p)]
+    # p + p = 2p (equal-case select)
+    assert C.points_to_ints(C.to_affine(C.add(dp, dp))) == [bn.g1_coords(bn.double(p))]
+    # p + (-p) = inf
+    got = C.points_to_ints(C.to_affine(C.add(dp, C.neg(dp))))
+    assert got == [(0, 0)]
+    # mixed-add edge cases
+    aff = to_device([p])
+    assert C.points_to_ints(C.to_affine(C.add_mixed(inf, aff))) == [bn.g1_coords(p)]
+    assert C.points_to_ints(C.to_affine(C.add_mixed(dp, aff))) == [
+        bn.g1_coords(bn.double(p))
+    ]
+    neg_aff = C.APoint(aff.x, F.neg(F.FQ, aff.y))
+    assert C.points_to_ints(C.to_affine(C.add_mixed(dp, neg_aff))) == [(0, 0)]
+
+
+def test_tree_sum(rng):
+    pts = ref_points(rng, 7)
+    dp = C.from_affine(to_device(pts))
+    got = C.points_to_ints(C.to_affine(C.tree_sum(dp)))
+    want = None
+    for p in pts:
+        want = bn.add(want, p)
+    assert got == [bn.g1_coords(want)]
+
+
+@pytest.mark.parametrize("c", [4, 8])
+def test_msm_small(rng, c):
+    n = 33
+    pts = ref_points(rng, n)
+    scalars = [rng.randrange(bn.R_ORDER) for _ in range(n)]
+    scalars[0] = 0
+    scalars[1] = 1
+    dp = to_device(pts)
+    ds = F.from_int(F.FR, scalars)
+    got = C.points_to_ints(C.to_affine(M.msm(dp, ds, c=c)))
+    want = bn.msm(pts, scalars)
+    assert got == [bn.g1_coords(want)]
+
+
+def test_fixed_base_msm(rng):
+    n = 17
+    scalars = [rng.randrange(bn.R_ORDER) for _ in range(n)] + [0]
+    base = bn.scalar_mul(bn.G1_GEN, 5)
+    db = to_device([base])
+    db = C.APoint(db.x[0], db.y[0])
+    ds = F.from_int(F.FR, scalars)
+    got = C.points_to_ints(C.to_affine(M.fixed_base_msm(db, ds, c=8)))
+    want = [bn.g1_coords(bn.scalar_mul(base, s)) for s in scalars]
+    assert got == want
