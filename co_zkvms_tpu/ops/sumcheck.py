@@ -1,0 +1,161 @@
+"""Generic sumcheck engine over MLE evaluation tables (public or Rep3-shared).
+
+Prover rounds (maps ark-linear-sumcheck's IPForMLSumcheck and the reference's
+specialized Rep3 folds — co-spartan/src/sumcheck.rs:171-395, co-jolt
+subprotocols/sumcheck.rs):
+
+  round j over tables of 2h entries: for each table p, its restriction to
+  x_0 = t is the vector p_t = even + t*(odd - even); the round message is
+  s_j(t) = sum_half comb(p_t) for t = 0..degree — (degree+1) evaluations.
+  Fiat-Shamir absorbs the evaluations, squeezes r_j, and every table binds
+  x_0 <- r_j (reusing the slopes).
+
+Conventions:
+- element axis is ALWAYS axis -2 (tables are [..., n, 16]); a Rep3-shared
+  table carries its party axis in the leading dims ([3, n, 16]) and the
+  engine opens round evaluations by summing over axis 0 (+ zero-share masks
+  from correlated rng) before they touch the transcript — the MPC and
+  plaintext sumchecks share this one implementation.
+- ``comb`` receives the per-table restrictions and must return either a
+  public [..., h, 16] array or an additive-share stack [3, h, 16]; for
+  share*share products the caller uses the Rep3 3-term formula (mpc.mul).
+
+The host verifier (``verify``) interpolates each round polynomial from its
+evaluations and walks the same transcript — used by models/*/verifier.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from . import field as F
+from . import transcript as T
+from .field import FR, FieldSpec
+
+_round_fn_cache = {}
+
+
+def _elem_slice(p, sl):
+    return p[..., sl, :]
+
+
+def _make_round_fn(spec: FieldSpec, degree: int, comb, shared: bool):
+    """Build (and jit) the per-round kernel for a given comb function."""
+
+    def round_fn(state, polys, mask=None):
+        evens = [_elem_slice(p, slice(0, None, 2)) for p in polys]
+        odds = [_elem_slice(p, slice(1, None, 2)) for p in polys]
+        slopes = [F.sub(spec, o, e) for o, e in zip(odds, evens)]
+        cur = list(evens)
+        msgs = []
+        for t in range(degree + 1):
+            if t > 0:
+                cur = [F.add(spec, c, s) for c, s in zip(cur, slopes)]
+            v = comb(cur)  # [..., h, 16]
+            ev = F.modsum(spec, v, v.ndim - 2)  # sum over element axis
+            msgs.append(ev)
+        msg = jnp.stack(msgs, axis=-2)  # [..., degree+1, 16]
+        if shared:
+            if mask is not None:
+                msg = F.add(spec, msg, mask)
+            opened = msg[0]
+            for p in range(1, msg.shape[0]):
+                opened = F.add(spec, opened, msg[p])
+            msg = opened  # [degree+1, 16]
+        state = T.absorb_fes(spec, state, msg)
+        state, r = T.challenge_fe(state)
+        bound = [
+            F.add(spec, e, F.mul(spec, jnp.broadcast_to(r, s.shape), s))
+            for e, s in zip(evens, slopes)
+        ]
+        return state, r, msg, bound
+
+    return jax.jit(round_fn)
+
+
+class SumcheckResult(NamedTuple):
+    state: jax.Array          # transcript state after all rounds
+    challenges: jax.Array     # [nv, 16] Montgomery
+    round_msgs: jax.Array     # [nv, degree+1, 16] public round evaluations
+    final_polys: list         # each [..., 1, 16] — tables bound at r
+
+
+def prove(
+    spec: FieldSpec,
+    state,
+    polys: Sequence[jax.Array],
+    degree: int,
+    comb: Callable,
+    masks=None,
+    shared: bool = False,
+) -> SumcheckResult:
+    """Run all sumcheck rounds. ``polys`` tables must share element length 2^nv.
+
+    ``masks``: optional [nv, 3, degree+1, 16] zero-share stacks (ZK/MPC
+    re-randomization of round messages; sums to zero so the opened transcript
+    values are unchanged).
+    """
+    n = polys[0].shape[-2]
+    nv = n.bit_length() - 1
+    assert 1 << nv == n
+    key = (spec, degree, comb, shared)
+    if key not in _round_fn_cache:
+        _round_fn_cache[key] = _make_round_fn(spec, degree, comb, shared)
+    round_fn = _round_fn_cache[key]
+
+    rs, msgs = [], []
+    for j in range(nv):
+        mask = None if masks is None else masks[j]
+        state, r, msg, polys = round_fn(state, polys, mask)
+        rs.append(r)
+        msgs.append(msg)
+    return SumcheckResult(
+        state=state,
+        challenges=jnp.stack(rs),
+        round_msgs=jnp.stack(msgs),
+        final_polys=polys,
+    )
+
+
+# --- host-side verification -------------------------------------------------
+
+
+def lagrange_eval_ints(evals, x: int, modulus: int) -> int:
+    """Interpolate the degree-d poly through (i, evals[i]) and evaluate at x."""
+    d = len(evals) - 1
+    total = 0
+    for i in range(d + 1):
+        num, den = 1, 1
+        for j in range(d + 1):
+            if i == j:
+                continue
+            num = num * (x - j) % modulus
+            den = den * (i - j) % modulus
+        total = (total + evals[i] * num * pow(den, -1, modulus)) % modulus
+    return total
+
+
+def verify(
+    round_msgs,
+    claim: int,
+    transcript: "T.HostTranscript",
+    modulus: int = FR.modulus,
+):
+    """Walk the rounds on the host: check s(0)+s(1) == claim, derive r_j.
+
+    ``round_msgs``: [nv][degree+1] ints. Returns (challenges, final_claim).
+    Raises ValueError on a failed round check.
+    """
+    rs = []
+    for j, evals in enumerate(round_msgs):
+        if (evals[0] + evals[1]) % modulus != claim % modulus:
+            raise ValueError(f"sumcheck round {j}: s(0)+s(1) != claim")
+        transcript.absorb_many(evals)
+        r = transcript.challenge()
+        claim = lagrange_eval_ints(evals, r, modulus)
+        rs.append(r)
+    return rs, claim
