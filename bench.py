@@ -1,0 +1,135 @@
+"""Benchmark driver: prints ONE JSON line with the headline metric.
+
+Headline: variable-base MSM throughput (points/s/chip) — the kernel the
+reference pipeline is bound by (BASELINE.md: party-side PST13 ``batch_msm``
+= 144.5 s of a 344 s co-Jolt proof).
+
+vs_baseline: the reference gives no direct MSM ops/s number; we derive an
+estimate from its committed trace: sha2-chain x300 => trace length ~2^20,
+Jolt commits O(100) polynomials of that length per party, so ~1e8 points in
+144.5 s ~= 7e5 points/s on the 32-CPU host. vs_baseline = ours / 7e5.
+
+Secondary numbers (stderr): field-mul throughput, sumcheck round throughput,
+e2e Spartan prove latency on a 2^12-constraint circuit.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+REF_MSM_POINTS_PER_S = 7.0e5  # documented estimate, see module docstring
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def bench_msm(n_log2=16, c=8, iters=3):
+    from co_zkvms_tpu.ops import curve as C
+    from co_zkvms_tpu.ops import field as F
+    from co_zkvms_tpu.ops import msm as M
+    from co_zkvms_tpu.ops.field import FR, FQ
+
+    n = 1 << n_log2
+    key = jax.random.key(0)
+    k1, k2 = jax.random.split(key)
+    # pseudo-points: random multiples of G via fixed-base (device-side)
+    from co_zkvms_tpu.ops import ref_bn254 as bn
+
+    g = C.points_from_ints([bn.g1_coords(bn.G1_GEN)])
+    g1 = C.APoint(g.x[0], g.y[0])
+    exps = F.random(FR, k1, (n,))
+    pts = C.to_affine(M.fixed_base_msm(g1, exps))
+    scalars = F.random(FR, k2, (n,))
+    jax.block_until_ready((pts, scalars))
+    log(f"msm setup done: n=2^{n_log2}")
+
+    # warmup (compile)
+    t0 = time.time()
+    res = M.msm(pts, scalars, c=c)
+    jax.block_until_ready(res)
+    log(f"msm warmup (compile+run): {time.time()-t0:.2f}s")
+
+    times = []
+    for _ in range(iters):
+        t0 = time.time()
+        res = M.msm(pts, scalars, c=c)
+        jax.block_until_ready(res)
+        times.append(time.time() - t0)
+    best = min(times)
+    log(f"msm n=2^{n_log2} c={c}: best {best:.3f}s -> {n/best:,.0f} points/s")
+    return n / best
+
+
+def bench_field_mul(n_log2=20, iters=5):
+    from co_zkvms_tpu.ops import field as F
+    from co_zkvms_tpu.ops.field import FR
+
+    n = 1 << n_log2
+    a = F.random(FR, jax.random.key(1), (n,))
+    b = F.random(FR, jax.random.key(2), (n,))
+    out = F.mul(FR, a, b)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(iters):
+        t0 = time.time()
+        out = F.mul(FR, out, b)
+        jax.block_until_ready(out)
+        times.append(time.time() - t0)
+    best = min(times)
+    log(f"field mul n=2^{n_log2}: best {best*1e3:.2f}ms -> {n/best/1e6:.1f} Mmul/s")
+    return n / best
+
+
+def bench_spartan_e2e(n_cons_log2=10):
+    from co_zkvms_tpu.models import spartan
+    from co_zkvms_tpu.models.synthetic import squaring_chain
+    from co_zkvms_tpu.ops import pst13
+
+    b = squaring_chain((1 << n_cons_log2) - 4)
+    z = b.solve_witness([3])
+    index = spartan.SpartanIndex.from_r1cs(b.build())
+    srs = pst13.setup_cached(index.nv, seed=7)
+    t0 = time.time()
+    proof = spartan.prove(index, srs, z)
+    t_first = time.time() - t0
+    t0 = time.time()
+    proof = spartan.prove(index, srs, z)
+    t_second = time.time() - t0
+    log(
+        f"spartan e2e 2^{n_cons_log2} constraints: first {t_first:.2f}s "
+        f"(incl. compile), steady {t_second:.2f}s"
+    )
+    ok = spartan.verify(index, srs, [3], proof)
+    log(f"spartan verify: {ok}")
+    return t_second
+
+
+def main():
+    log(f"devices: {jax.devices()}")
+    try:
+        bench_field_mul()
+    except Exception as e:  # noqa: BLE001
+        log(f"field bench failed: {e}")
+    try:
+        bench_spartan_e2e()
+    except Exception as e:  # noqa: BLE001
+        log(f"spartan bench failed: {e}")
+    pps = bench_msm()
+    print(
+        json.dumps(
+            {
+                "metric": "msm_points_per_s_per_chip",
+                "value": round(pps),
+                "unit": "points/s",
+                "vs_baseline": round(pps / REF_MSM_POINTS_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

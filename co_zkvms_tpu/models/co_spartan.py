@@ -1,0 +1,176 @@
+"""co-Spartan: 3-party Rep3 MPC Spartan prover as one sharded array program.
+
+Replaces the reference's coordinator + 3xW QUIC workers
+(co-spartan/src/{coordinator,worker}.rs — SURVEY.md §2.6/§3.1) with a single
+jax program over share stacks [3, N, 16]:
+
+- witness sharing: w is Rep3-shared; z = trivial(io) + w_shares (party 0
+  carries the public io region, matching additive.rs's party-0 convention);
+- each party commits its w share (3 MSMs run batched over the party axis'
+  leading dim); the witness commitment is their G1 sum — the reference's
+  ``combine_comm``;
+- sumcheck 1 runs the SHARED engine: az*bz uses the Rep3 3-term local
+  product, round messages are additive shares masked by correlated-rng zero
+  shares and opened into the (device) transcript — what the reference does
+  with one coordinator RTT per round (coordinator.rs:642-716) is here a
+  party-axis reduction;
+- sumcheck 2's M_rx(y) table is public (matrix + r_x only), z stays shared;
+- PST13 opening: parties open their shares, proofs sum pointwise
+  (pst13.rs coordinate_prove behavior).
+
+Output: the SAME SpartanProof, verified by models/spartan.verify — and
+bit-identical to the single-party proof for the same witness (the masks
+cancel in every opened value), which is the conformance obligation the
+reference states for co-Jolt (SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import field as F
+from ..ops import poly as P
+from ..ops import pst13
+from ..ops import ref_bn254 as bn
+from ..ops import sumcheck as SC
+from ..ops import transcript as T
+from ..ops.field import FR
+from ..parallel import mpc, shares as S
+from ..parallel.rng import CorrelatedRng
+from .spartan import (
+    LABEL,
+    SpartanIndex,
+    SpartanProof,
+    _comb2,
+    _msgs_to_ints,
+)
+
+MOD = FR.modulus
+
+
+def share_witness(index: SpartanIndex, z_ints, key):
+    """Split z into io (public) + Rep3-shared w. Returns (io_table, z_shares,
+    w_shares)."""
+    r1cs = index.r1cs
+    zp = r1cs.pad_z(z_ints)
+    io_ints, w_ints = r1cs.split_io_w(zp)
+    io_table = F.from_int(FR, io_ints)
+    w_shares = S.share(FR, key, F.from_int(FR, w_ints))
+    z_shares = F.add(FR, S.promote_public(FR, io_table), w_shares)
+    return io_table, z_shares, w_shares
+
+
+def _comb1_shared(polys):
+    eq, az, bz, cz = polys
+    prod = mpc.mul(FR, az, bz)          # additive shares of az*bz
+    return F.mul(FR, eq, F.sub(FR, prod, cz))
+
+
+def _commit_shares(srs, w_shares):
+    """Per-party commitments summed into the witness commitment (host G1)."""
+    parts = [pst13.commit(srs, w_shares[p]) for p in range(3)]
+    acc = None
+    for cm in parts:
+        acc = bn.add(acc, cm.point())
+    return pst13.Commitment(xy=bn.g1_coords(acc))
+
+
+def _open_shares(srs, w_shares, point):
+    """Per-party PST13 openings; value and proof points sum across parties."""
+    vals, proofs = [], []
+    for p in range(3):
+        v, pr = pst13.open_at(srs, w_shares[p], point)
+        vals.append(v)
+        proofs.append(pr)
+    value = sum(vals) % MOD
+    nv = len(proofs[0].pis)
+    pis = []
+    for k in range(nv):
+        acc = None
+        for pr in proofs:
+            acc = bn.add(acc, bn.g1_from_coords(pr.pis[k]))
+        pis.append(bn.g1_coords(acc))
+    return value, pst13.OpeningProof(pis=tuple(pis))
+
+
+def prove_rep3(
+    index: SpartanIndex,
+    srs: pst13.SRS,
+    z_ints,
+    share_key=None,
+    mask_key=None,
+) -> SpartanProof:
+    """3-party MPC Spartan prove (in-process simulation of all parties;
+    place the share stacks' party axis on a size-3 mesh axis to distribute)."""
+    nv = index.nv
+    share_key = share_key if share_key is not None else jax.random.key(0)
+    mask_key = mask_key if mask_key is not None else jax.random.key(1)
+    io_table, z_shares, w_shares = share_witness(index, z_ints, share_key)
+    crng = CorrelatedRng.create(mask_key)
+
+    w_comm = _commit_shares(srs, w_shares)
+    ht = T.HostTranscript(LABEL)
+    ht.absorb_point(w_comm.xy)
+    state = ht.device_state()
+    state, taus = T.challenge_fes(state, nv)
+
+    eq_tau = P.eq_table(FR, taus)
+    az = index.da.mul_vec(z_shares)
+    bz = index.db.mul_vec(z_shares)
+    cz = index.dc.mul_vec(z_shares)
+
+    masks1 = jnp.stack([crng.zero_shares(FR, j, (4,)) for j in range(nv)])
+    res1 = SC.prove(
+        FR,
+        state,
+        [eq_tau, az, bz, cz],
+        degree=3,
+        comb=_comb1_shared,
+        masks=masks1,
+        shared=True,
+    )
+    rx = res1.challenges
+    va = S.combine(FR, res1.final_polys[1])[0]
+    vb = S.combine(FR, res1.final_polys[2])[0]
+    vc = S.combine(FR, res1.final_polys[3])[0]
+
+    state = T.absorb_fes(FR, res1.state, jnp.stack([va, vb, vc]))
+    state, rabc = T.challenge_fes(state, 3)
+
+    eq_rx = P.eq_table(FR, rx)
+    m_rx = index.da.weighted_col_table(F.mul(FR, eq_rx, rabc[0]))
+    m_rx = F.add(FR, m_rx, index.db.weighted_col_table(F.mul(FR, eq_rx, rabc[1])))
+    m_rx = F.add(FR, m_rx, index.dc.weighted_col_table(F.mul(FR, eq_rx, rabc[2])))
+
+    masks2 = jnp.stack([crng.zero_shares(FR, 1000 + j, (3,)) for j in range(nv)])
+    res2 = SC.prove(
+        FR,
+        state,
+        [m_rx, z_shares],
+        degree=2,
+        comb=_comb2_shared,
+        masks=masks2,
+        shared=True,
+    )
+    ry = res2.challenges
+    val_m = int(F.to_int(FR, res2.final_polys[0][0]))
+
+    w_eval, w_proof = _open_shares(srs, w_shares, ry)
+
+    return SpartanProof(
+        w_commitment=w_comm.xy,
+        sumcheck1_msgs=_msgs_to_ints(res1.round_msgs),
+        va=int(F.to_int(FR, va)),
+        vb=int(F.to_int(FR, vb)),
+        vc=int(F.to_int(FR, vc)),
+        sumcheck2_msgs=_msgs_to_ints(res2.round_msgs),
+        w_eval=w_eval,
+        val_m=val_m,
+        w_proof=w_proof,
+    )
+
+
+def _comb2_shared(polys):
+    m_rx, z = polys
+    return F.mul(FR, m_rx, z)

@@ -1,0 +1,42 @@
+"""co-Spartan MPC prover: same proof as single-party, incl. mesh-sharded run."""
+
+import jax
+import numpy as np
+import pytest
+
+from co_zkvms_tpu.models import co_spartan, spartan
+from co_zkvms_tpu.ops import field as F
+from co_zkvms_tpu.ops import pst13
+from tests.test_spartan import cubic_circuit
+
+MOD = F.FR.modulus
+
+
+@pytest.fixture(scope="module")
+def setup():
+    b = cubic_circuit()
+    r1cs = b.build()
+    z = [1, 35, 3, 9, 27]
+    index = spartan.SpartanIndex.from_r1cs(r1cs)
+    srs = pst13.setup_cached(3, seed=2)
+    return index, srs, z
+
+
+def test_co_spartan_matches_single_party(setup):
+    index, srs, z = setup
+    single = spartan.prove(index, srs, z)
+    mpc_proof = co_spartan.prove_rep3(index, srs, z)
+    # bit-identical proofs: masks cancel in every opened value
+    assert mpc_proof == single
+    assert spartan.verify(index, srs, [35], mpc_proof)
+
+
+def test_co_spartan_different_share_keys_same_proof(setup):
+    index, srs, z = setup
+    p1 = co_spartan.prove_rep3(
+        index, srs, z, share_key=jax.random.key(42), mask_key=jax.random.key(43)
+    )
+    p2 = co_spartan.prove_rep3(
+        index, srs, z, share_key=jax.random.key(99), mask_key=jax.random.key(100)
+    )
+    assert p1 == p2  # resharing/masking randomness never reaches the proof
