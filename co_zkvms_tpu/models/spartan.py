@@ -49,6 +49,7 @@ class SpartanProof(NamedTuple):
     w_eval: int
     val_m: int
     w_proof: pst13.OpeningProof
+    dfs: object = None          # optional DFSRoundProof (succinct val_m check)
 
 
 class SpartanIndex(NamedTuple):
@@ -87,7 +88,7 @@ def _msgs_to_ints(round_msgs):
     return [[int(v) for v in row] for row in vals]
 
 
-def prove(index: SpartanIndex, srs: pst13.SRS, z_ints) -> SpartanProof:
+def prove(index: SpartanIndex, srs: pst13.SRS, z_ints, dfs=None) -> SpartanProof:
     """Prove knowledge of a satisfying z (public witness path).
 
     ``z_ints``: full wire assignment (unpadded). The io region is public;
@@ -134,6 +135,18 @@ def prove(index: SpartanIndex, srs: pst13.SRS, z_ints) -> SpartanProof:
     # witness opening at ry
     w_eval, w_proof = pst13.open_at(srs, w_table, ry)
 
+    if dfs is not None:
+        from . import spartan_dfs
+
+        ht2 = T.HostTranscript.from_device_state(res2.state)
+        ht2.absorb(w_eval)
+        ht2.absorb(val_m)
+        dfs_proof = spartan_dfs.prove_round4(
+            dfs, srs, ht2, rx, ry, rabc, res2.challenges
+        )
+    else:
+        dfs_proof = None
+
     return SpartanProof(
         w_commitment=w_comm.xy,
         sumcheck1_msgs=_msgs_to_ints(res1.round_msgs),
@@ -144,6 +157,7 @@ def prove(index: SpartanIndex, srs: pst13.SRS, z_ints) -> SpartanProof:
         w_eval=w_eval,
         val_m=val_m,
         w_proof=w_proof,
+        dfs=dfs_proof,
     )
 
 
@@ -155,7 +169,11 @@ def _eq_eval_ints(r, s):
 
 
 def verify(
-    index: SpartanIndex, srs: pst13.SRS, public_inputs, proof: SpartanProof
+    index: SpartanIndex,
+    srs: pst13.SRS,
+    public_inputs,
+    proof: SpartanProof,
+    dfs_vk=None,
 ) -> bool:
     """Host verifier (Python ints). ``public_inputs``: io values WITHOUT the
     leading constant-1 wire."""
@@ -190,7 +208,17 @@ def verify(
         ):
             return False
 
-        # val_m consistency against the (public) matrices
+        # val_m consistency: succinct (logup round) when present, else direct
+        if proof.dfs is not None and dfs_vk is None:
+            return False
+        if proof.dfs is not None:
+            from . import spartan_dfs
+
+            ht.absorb(proof.w_eval)
+            ht.absorb(proof.val_m)
+            return spartan_dfs.verify_round4(
+                dfs_vk, srs, ht, proof.dfs, rx, ry, [ra, rb, rc], proof.val_m
+            )
         val = (
             ra * r1cs.a.eval_mle(rx, ry)
             + rb * r1cs.b.eval_mle(rx, ry)

@@ -203,29 +203,27 @@ def neg(spec: FieldSpec, a):
 def _mul_columns(a, b):
     """Schoolbook 16x16-digit product -> 32 loose columns (each < 2^22).
 
-    One outer product + a 16-step lax.scan of rolled row contributions.
+    16-step lax.scan over a's limbs; partial products are formed inside the
+    scan body so peak memory is O(batch * 32) — never the full [batch, 16,
+    16] outer product (which OOMs HBM at 2^20-element batches).
     """
     shape = jnp.broadcast_shapes(a.shape, b.shape)
     a = jnp.broadcast_to(a, shape)
     b = jnp.broadcast_to(b, shape)
-    pp = a[..., :, None] * b[..., None, :]  # [..., i, j], each < 2^32
-    lo = pp & MASK
-    hi = pp >> LIMB_BITS
-    zeros = jnp.zeros(shape[:-1] + (NLIMBS,), dtype=U32)
-    # row i of lo goes to columns i..i+15, row i of hi to i+1..i+16
-    lo_rows = jnp.moveaxis(jnp.concatenate([lo, zeros[..., None, :]
-                                            .repeat(NLIMBS, axis=-2)], axis=-1), -2, 0)
-    hi_rows = jnp.moveaxis(jnp.concatenate([hi, zeros[..., None, :]
-                                            .repeat(NLIMBS, axis=-2)], axis=-1), -2, 0)
+    a_rows = jnp.moveaxis(a, -1, 0)  # [16, ...]
     idx = jnp.arange(NLIMBS, dtype=jnp.int32)
+    zeros = jnp.zeros(shape[:-1] + (NLIMBS,), dtype=U32)
 
     def body(cols, x):
-        lo_r, hi_r, i = x
-        cols = cols + jnp.roll(lo_r, i, axis=-1) + jnp.roll(hi_r, i + 1, axis=-1)
+        a_i, i = x
+        p = a_i[..., None] * b  # [..., 16], each < 2^32
+        lo = jnp.concatenate([p & MASK, zeros], axis=-1)
+        hi = jnp.concatenate([p >> LIMB_BITS, zeros], axis=-1)
+        cols = cols + jnp.roll(lo, i, axis=-1) + jnp.roll(hi, i + 1, axis=-1)
         return cols, None
 
     cols0 = jnp.zeros(shape[:-1] + (2 * NLIMBS,), dtype=U32)
-    cols, _ = jax.lax.scan(body, cols0, (lo_rows, hi_rows, idx))
+    cols, _ = jax.lax.scan(body, cols0, (a_rows, idx))
     return cols
 
 

@@ -1,0 +1,195 @@
+"""Batched dense grand products via GKR (Thaler13), public or Rep3-shared.
+
+Maps co-jolt's ``Rep3BatchedDenseGrandProduct``
+(subprotocols/grand_product.rs:220-309) and its per-layer cubic sumcheck
+(poly/dense_interleaved_poly.rs) — the innermost MPC kernel of Jolt memory
+checking (SURVEY.md §3.5). TPU-first re-design:
+
+- layer tables are [B, 2^k, 16] arrays (batch, element, limb); a layer
+  product is ONE vectorized share-mul (for Rep3: one implicit reshare — the
+  reference's "one ring message per layer");
+- layer k proves  V_{k-1}(r) = sum_x eq(r, x) * V_k(0,x) * V_k(1,x) with a
+  degree-3 batched sumcheck, instances RLC'd by transcript coefficients;
+- after each layer the prover opens per-instance claims L_b, R_b and the
+  verifier folds  C_b <- L_b + mu * (R_b - L_b)  at point (mu, rho).
+
+The caller ties the final leaf-layer claims to committed polynomials.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import field as F
+from . import poly as P
+from . import sumcheck as SC
+from . import transcript as T
+from .field import FR
+from ..parallel import mpc, shares as Sh
+
+MOD = FR.modulus
+
+
+class GrandProductProof(NamedTuple):
+    products: list              # [B] ints — the claimed products
+    layer_msgs: list            # per layer: [rounds][4] ints (empty for layer 1)
+    layer_claims: list          # per layer: ([L_b ints], [R_b ints])
+
+
+def _comb_gkr(polys, consts):
+    eq, left, right = polys
+    (coeffs,) = consts
+    prod = F.mul(FR, left, right)
+    mix = F.mul(FR, prod, coeffs[:, None, :])
+    acc = F.modsum(FR, mix, 0)          # reduce over instances
+    return F.mul(FR, eq, acc)
+
+
+def _comb_gkr_shared(polys, consts):
+    eq, left, right = polys             # [3, B, h, 16] share stacks
+    (coeffs,) = consts
+    prod = mpc.mul(FR, left, right)     # additive shares
+    mix = F.mul(FR, prod, coeffs[None, :, None, :])
+    acc = F.modsum(FR, mix, 1)          # reduce over instances -> [3, h, 16]
+    return F.mul(FR, eq, acc)
+
+
+def compute_layers(leaves, shared: bool = False):
+    """All GKR layers bottom-up. leaves: [B, N, 16] or [3, B, N, 16]."""
+    layers = [leaves]
+    cur = leaves
+    while cur.shape[-2] > 1:
+        even = cur[..., 0::2, :]
+        odd = cur[..., 1::2, :]
+        if shared:
+            cur = mpc.mul(FR, even, odd)
+        else:
+            cur = F.mul(FR, even, odd)
+        layers.append(cur)
+    return layers
+
+
+def _open(x, shared):
+    return Sh.combine(FR, x) if shared else x
+
+
+def _to_ints(arr):
+    import numpy as np
+
+    vals = np.atleast_1d(F.to_int(FR, arr))
+    return [int(v) for v in vals.reshape(-1)]
+
+
+def prove_batched(state, leaves, shared: bool = False, masks_rng=None,
+                  mask_base: int = 0):
+    """Prove the B grand products of ``leaves``.
+
+    Returns (state', proof, final_point [n,16], final_claims device [B,16]).
+    ``leaves``: [B, N, 16] (public) or [3, B, N, 16] (Rep3 share stacks).
+    """
+    layers = compute_layers(leaves, shared)
+    b = leaves.shape[-3]
+    n_layers = len(layers) - 1
+
+    products = _open(layers[-1], shared)[..., 0, :]  # [B, 16]
+    state = T.absorb_fes(FR, state, products)
+    product_ints = _to_ints(products)
+
+    layer_msgs = []
+    layer_claims = []
+    claims = products                    # [B, 16] device
+    point = jnp.zeros((0, F.NLIMBS), dtype=jnp.uint32)
+
+    for k in range(1, n_layers + 1):
+        layer = layers[n_layers - k]     # [.., B, 2^k, 16]
+        left = layer[..., 0::2, :]
+        right = layer[..., 1::2, :]
+        if k == 1:
+            msgs = []
+        else:
+            state, coeff_chal = T.challenge_fe(state)
+            coeffs = _powers(coeff_chal, b)
+            eq_r = P.eq_table(FR, point)
+            nrounds = k - 1
+            masks = None
+            if shared and masks_rng is not None:
+                masks = jnp.stack([
+                    masks_rng.zero_shares(FR, mask_base + 97 * k + j, (4,))
+                    for j in range(nrounds)
+                ])
+            res = SC.prove(
+                FR, state, [eq_r, left, right], degree=3,
+                comb=_comb_gkr_shared if shared else _comb_gkr,
+                consts=(coeffs,), masks=masks, shared=shared,
+            )
+            state = res.state
+            msgs = SC.round_msgs_to_ints(res.round_msgs)
+            left, right = res.final_polys[1], res.final_polys[2]
+            point = res.challenges
+        l_vals = _open(left, shared)[..., 0, :]   # [B, 16]
+        r_vals = _open(right, shared)[..., 0, :]
+        state = T.absorb_fes(FR, state, l_vals)
+        state = T.absorb_fes(FR, state, r_vals)
+        layer_msgs.append(msgs)
+        layer_claims.append((_to_ints(l_vals), _to_ints(r_vals)))
+        state, mu = T.challenge_fe(state)
+        claims = F.add(FR, l_vals, F.mul(FR, jnp.broadcast_to(mu, r_vals.shape),
+                                         F.sub(FR, r_vals, l_vals)))
+        point = jnp.concatenate([mu[None], point], axis=0)
+
+    proof = GrandProductProof(
+        products=product_ints, layer_msgs=layer_msgs, layer_claims=layer_claims
+    )
+    return state, proof, point, claims
+
+
+def _powers(x, n):
+    out = [F.ones_mont(FR)]
+    for _ in range(n - 1):
+        out.append(F.mul(FR, out[-1], x))
+    return jnp.stack(out)
+
+
+def verify_batched(proof: GrandProductProof, ht: T.HostTranscript):
+    """Host verification. Returns (final_point ints, final_claims ints);
+    raises ValueError on failure."""
+    b = len(proof.products)
+    ht.absorb_many(proof.products)
+    claims = list(proof.products)
+    point = []
+
+    n_layers = len(proof.layer_msgs)
+    for k in range(1, n_layers + 1):
+        msgs = proof.layer_msgs[k - 1]
+        l_vals, r_vals = proof.layer_claims[k - 1]
+        if k == 1:
+            expected_each = None
+        else:
+            coeff = ht.challenge()
+            coeffs = [pow(coeff, i, MOD) for i in range(b)]
+            claim = sum(c * cl for c, cl in zip(coeffs, claims)) % MOD
+            rs, expected = SC.verify(msgs, claim, ht)
+            eq_val = 1
+            for rv, pv in zip(rs, point):
+                eq_val = eq_val * (rv * pv + (1 - rv) * (1 - pv)) % MOD
+            got = sum(
+                c * l * r for c, l, r in zip(coeffs, l_vals, r_vals)
+            ) % MOD * eq_val % MOD
+            if got != expected:
+                raise ValueError(f"grand product layer {k}: claim mismatch")
+            point = rs
+        if k == 1:
+            for pb, l, r in zip(claims, l_vals, r_vals):
+                if l * r % MOD != pb:
+                    raise ValueError("grand product top layer mismatch")
+        ht.absorb_many(l_vals)
+        ht.absorb_many(r_vals)
+        mu = ht.challenge()
+        claims = [
+            (l + mu * (r - l)) % MOD for l, r in zip(l_vals, r_vals)
+        ]
+        point = [mu] + list(point)
+    return point, claims

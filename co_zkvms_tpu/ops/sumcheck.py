@@ -46,7 +46,7 @@ def _elem_slice(p, sl):
 def _make_round_fn(spec: FieldSpec, degree: int, comb, shared: bool):
     """Build (and jit) the per-round kernel for a given comb function."""
 
-    def round_fn(state, polys, mask=None):
+    def round_fn(state, polys, mask=None, consts=None):
         evens = [_elem_slice(p, slice(0, None, 2)) for p in polys]
         odds = [_elem_slice(p, slice(1, None, 2)) for p in polys]
         slopes = [F.sub(spec, o, e) for o, e in zip(odds, evens)]
@@ -55,7 +55,7 @@ def _make_round_fn(spec: FieldSpec, degree: int, comb, shared: bool):
         for t in range(degree + 1):
             if t > 0:
                 cur = [F.add(spec, c, s) for c, s in zip(cur, slopes)]
-            v = comb(cur)  # [..., h, 16]
+            v = comb(cur) if consts is None else comb(cur, consts)  # [..., h, 16]
             ev = F.modsum(spec, v, v.ndim - 2)  # sum over element axis
             msgs.append(ev)
         msg = jnp.stack(msgs, axis=-2)  # [..., degree+1, 16]
@@ -92,6 +92,7 @@ def prove(
     comb: Callable,
     masks=None,
     shared: bool = False,
+    consts=None,
 ) -> SumcheckResult:
     """Run all sumcheck rounds. ``polys`` tables must share element length 2^nv.
 
@@ -110,7 +111,7 @@ def prove(
     rs, msgs = [], []
     for j in range(nv):
         mask = None if masks is None else masks[j]
-        state, r, msg, polys = round_fn(state, polys, mask)
+        state, r, msg, polys = round_fn(state, polys, mask, consts)
         rs.append(r)
         msgs.append(msg)
     return SumcheckResult(
@@ -119,6 +120,12 @@ def prove(
         round_msgs=jnp.stack(msgs),
         final_polys=polys,
     )
+
+
+def round_msgs_to_ints(round_msgs):
+    """Device round messages [nv, d+1, 16] -> [[int]] for proof objects."""
+    vals = F.to_int(FR, round_msgs)
+    return [[int(v) for v in row] for row in vals]
 
 
 # --- host-side verification -------------------------------------------------
