@@ -47,24 +47,28 @@ def bench_msm(n_log2=16, c=8, iters=3):
     jax.block_until_ready((pts, scalars))
     log(f"msm setup done: n=2^{n_log2}")
 
-    # warmup (compile)
+    # NB: block_until_ready does not synchronize through this environment's
+    # TPU relay — a host fetch of one limb forces real completion.
+    def sync(p):
+        return int(jax.device_get(p.x[0, 0]))
+
     t0 = time.time()
     res = M.msm(pts, scalars, c=c)
-    jax.block_until_ready(res)
+    sync(res)
     log(f"msm warmup (compile+run): {time.time()-t0:.2f}s")
 
     times = []
     for _ in range(iters):
         t0 = time.time()
         res = M.msm(pts, scalars, c=c)
-        jax.block_until_ready(res)
+        sync(res)
         times.append(time.time() - t0)
     best = min(times)
     log(f"msm n=2^{n_log2} c={c}: best {best:.3f}s -> {n/best:,.0f} points/s")
     return n / best
 
 
-def bench_field_mul(n_log2=20, iters=5):
+def bench_field_mul(n_log2=20, chain=50):
     from co_zkvms_tpu.ops import field as F
     from co_zkvms_tpu.ops.field import FR
 
@@ -72,16 +76,15 @@ def bench_field_mul(n_log2=20, iters=5):
     a = F.random(FR, jax.random.key(1), (n,))
     b = F.random(FR, jax.random.key(2), (n,))
     out = F.mul(FR, a, b)
-    jax.block_until_ready(out)
-    times = []
-    for _ in range(iters):
-        t0 = time.time()
+    int(jax.device_get(out[0, 0]))  # real sync (block_until_ready lies here)
+    # dependent chain with a single sync: measures steady-state per-mul time
+    t0 = time.time()
+    for _ in range(chain):
         out = F.mul(FR, out, b)
-        jax.block_until_ready(out)
-        times.append(time.time() - t0)
-    best = min(times)
-    log(f"field mul n=2^{n_log2}: best {best*1e3:.2f}ms -> {n/best/1e6:.1f} Mmul/s")
-    return n / best
+    int(jax.device_get(out[0, 0]))
+    per = (time.time() - t0) / chain
+    log(f"field mul n=2^{n_log2}: {per*1e3:.3f}ms/mul -> {n/per/1e6:.1f} Mmul/s")
+    return n / per
 
 
 def bench_spartan_e2e(n_cons_log2=10):
@@ -109,15 +112,20 @@ def bench_spartan_e2e(n_cons_log2=10):
 
 
 def main():
+    import os
+
     log(f"devices: {jax.devices()}")
     try:
         bench_field_mul()
     except Exception as e:  # noqa: BLE001
         log(f"field bench failed: {e}")
-    try:
-        bench_spartan_e2e()
-    except Exception as e:  # noqa: BLE001
-        log(f"spartan bench failed: {e}")
+    if os.environ.get("BENCH_E2E"):
+        # e2e Spartan compiles many per-round kernel shapes; opt-in until the
+        # fixed-shape scan prover lands (it is covered by CPU tests either way)
+        try:
+            bench_spartan_e2e()
+        except Exception as e:  # noqa: BLE001
+            log(f"spartan bench failed: {e}")
     pps = bench_msm()
     print(
         json.dumps(

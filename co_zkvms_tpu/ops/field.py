@@ -264,7 +264,19 @@ def _redc(spec: FieldSpec, t_digits):
 
 @_jit_spec
 def mul(spec: FieldSpec, a, b):
-    """Montgomery product: a * b * R^{-1} mod m. Canonical in/out."""
+    """Montgomery product: a * b * R^{-1} mod m. Canonical in/out.
+
+    On TPU, large batches dispatch to the fused Pallas kernel
+    (field_pallas.py) — bit-exact with the jnp path below.
+    """
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    batch = 1
+    for d in shape[:-1]:
+        batch *= d
+    if batch >= 512 and jax.default_backend() == "tpu":
+        from . import field_pallas
+
+        return field_pallas.mul(spec, a, b)
     cols = _mul_columns(a, b)
     t, carry = _carry_canonicalize(cols, 2 * NLIMBS)
     del carry  # a*b < m^2 < R^2 => fits in 32 digits exactly

@@ -1,0 +1,134 @@
+"""Pallas TPU kernels for BN254 field arithmetic (limb-major, VPU-resident).
+
+The jnp limb path (field.py) lowers to ~80 separate HBM-streaming XLA ops
+per modmul — measured ~0.2 s for 2^20 elements on v5e (HBM-bound, bad u32
+layouts). This kernel keeps the entire 16x16 schoolbook product + Montgomery
+REDC + carry chains in VMEM registers: one HBM read per operand, one write
+per result, fully unrolled straight-line uint32 vector code on the VPU.
+
+Layout inside the kernel is limb-major ([16, BLK]): each limb row is a
+contiguous lane-aligned vector. Callers keep the framework-wide [..., 16]
+layout; transposes at the boundary are fused by XLA.
+
+Bit-exact with field.mul (tested); enabled automatically on TPU for large
+batches via field.mul's dispatch hook.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from . import field as F
+
+BLK = 512  # elements per grid step; 16 limb rows x 512 lanes of u32 in VMEM
+
+MASK = 0xFFFF  # python ints only inside the kernel: pallas forbids captured
+SIXTEEN = 16   # traced constants
+
+
+def _mul_kernel_body(a_ref, b_ref, o_ref, mod_limbs, n0inv):
+    a = [a_ref[i, :] for i in range(16)]
+    b = [b_ref[i, :] for i in range(16)]
+
+    # schoolbook product -> 32 loose columns (< 2^22, fits u32)
+    cols = [None] * 32
+    for i in range(16):
+        for j in range(16):
+            p = a[i] * b[j]
+            lo = p & MASK
+            hi = p >> SIXTEEN
+            k = i + j
+            cols[k] = lo if cols[k] is None else cols[k] + lo
+            cols[k + 1] = hi if cols[k + 1] is None else cols[k + 1] + hi
+
+    # carry-canonicalize all 32 columns
+    carry = None
+    for k in range(32):
+        v = cols[k] if carry is None else cols[k] + carry
+        cols[k] = v & MASK
+        carry = v >> SIXTEEN
+
+    # Montgomery REDC: 16 rounds, each zeroes the current lowest column
+    m = [int(v) for v in mod_limbs]
+    n0 = n0inv
+    for i in range(16):
+        mi = (cols[i] * n0) & MASK
+        c = None
+        for j in range(16):
+            p = mi * m[j]
+            lo = p & MASK
+            hi = p >> SIXTEEN
+            cols[i + j] = cols[i + j] + lo
+            cols[i + j + 1] = cols[i + j + 1] + hi
+        carry = cols[i] >> SIXTEEN  # column i is an exact multiple of 2^16
+        cols[i + 1] = cols[i + 1] + carry
+        # re-canonicalize the window we keep touching to bound growth
+        # (columns stay < 2^23 across rounds; single final pass suffices)
+
+    # final carry pass over result columns 16..31
+    res = []
+    carry = None
+    for k in range(16, 32):
+        v = cols[k] if carry is None else cols[k] + carry
+        res.append(v & MASK)
+        carry = v >> SIXTEEN
+
+    # conditional subtract modulus (result < 2m)
+    borrow = None
+    diff = []
+    for k in range(16):
+        v = res[k] - m[k] - (0 if borrow is None else borrow)
+        diff.append(v & MASK)
+        borrow = (v >> 31) & 1
+    take_diff = jnp.logical_or(
+        carry.astype(bool), jnp.logical_not(borrow.astype(bool))
+    )
+    for k in range(16):
+        o_ref[k, :] = jnp.where(take_diff, diff[k], res[k])
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def mul_limb_major(spec, a_t, b_t):
+    """Montgomery modmul on limb-major arrays [16, N] (N % BLK == 0)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = a_t.shape[1]
+    mod_limbs = tuple(int(v) for v in spec.mod_limbs)
+
+    kernel = functools.partial(
+        _mul_kernel_body, mod_limbs=mod_limbs, n0inv=spec.n0inv
+    )
+    grid = (n // BLK,)
+    bspec = pl.BlockSpec((16, BLK), lambda i: (0, i), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[bspec, bspec],
+        out_specs=bspec,
+        out_shape=jax.ShapeDtypeStruct((16, n), jnp.uint32),
+        interpret=jax.default_backend() != "tpu",
+    )(a_t, b_t)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def mul(spec, a, b):
+    """Drop-in Montgomery product for [..., 16] arrays via the TPU kernel.
+
+    Pads the flattened batch to a BLK multiple; transposes at the boundary
+    (fused by XLA into the kernel's gather/scatter).
+    """
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    a = jnp.broadcast_to(a, shape).reshape(-1, 16)
+    b = jnp.broadcast_to(b, shape).reshape(-1, 16)
+    n = a.shape[0]
+    n_pad = -(-n // BLK) * BLK
+    if n_pad != n:
+        pad = ((0, n_pad - n), (0, 0))
+        a = jnp.pad(a, pad)
+        b = jnp.pad(b, pad)
+    out_t = mul_limb_major(spec, a.T, b.T)
+    return out_t.T[:n].reshape(shape)
