@@ -273,7 +273,7 @@ def mul(spec: FieldSpec, a, b):
     batch = 1
     for d in shape[:-1]:
         batch *= d
-    if batch >= 512 and jax.default_backend() == "tpu":
+    if batch >= 16 and jax.default_backend() == "tpu":
         from . import field_pallas
 
         return field_pallas.mul(spec, a, b)

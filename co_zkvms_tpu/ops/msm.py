@@ -60,20 +60,24 @@ def window_digits(scalars_mont, c: int):
 
 
 @functools.partial(jax.jit, static_argnums=2)
-def _window_sum(points: APoint, digits, c: int) -> JPoint:
-    """Weighted bucket sum sum_b b*S_b for one window. Returns batch-1 JPoint."""
-    n = digits.shape[0]
-    nb = 1 << c
-    order = jnp.argsort(digits)
-    ds = digits[order]
-    px = points.x[order]
-    py = points.y[order]
-    bucket_ids = jnp.arange(nb, dtype=digits.dtype)
-    first = jnp.searchsorted(ds, bucket_ids, side="left")
-    last = jnp.searchsorted(ds, bucket_ids, side="right")
+def _all_window_sums(points: APoint, digits, c: int) -> JPoint:
+    """Weighted bucket sums for ALL windows at once. Returns JPoint [nw].
 
-    buckets0 = C.infinity((nb,))
-    zero_aff = APoint(F.zeros((nb,)), F.zeros((nb,)))
+    Sorting/bucketing runs per window but every point-add is batched across
+    all nw * 2^c buckets — one while_loop iteration touches the whole fleet
+    of buckets, so sequential step count is max-bucket-occupancy, not
+    windows * occupancy (tiny-op dispatch overhead was the bottleneck).
+    """
+    nw, n = digits.shape
+    nb = 1 << c
+    order = jnp.argsort(digits, axis=1)                      # [nw, n]
+    ds = jnp.take_along_axis(digits, order, axis=1)
+    bucket_ids = jnp.arange(nb, dtype=digits.dtype)
+    first = jax.vmap(lambda row: jnp.searchsorted(row, bucket_ids, side="left"))(ds)
+    last = jax.vmap(lambda row: jnp.searchsorted(row, bucket_ids, side="right"))(ds)
+
+    buckets0 = C.infinity((nw, nb))
+    zero_aff = APoint(F.zeros((nw, nb)), F.zeros((nw, nb)))
 
     def cond(carry):
         t, _ = carry
@@ -81,24 +85,29 @@ def _window_sum(points: APoint, digits, c: int) -> JPoint:
 
     def body(carry):
         t, buckets = carry
-        idx = jnp.clip(first + t, 0, n - 1)
+        idx = jnp.clip(first + t, 0, n - 1)                  # [nw, nb]
         valid = (first + t) < last
-        q = APoint(px[idx], py[idx])
+        orig = jnp.take_along_axis(order, idx, axis=1)       # [nw, nb]
+        q = APoint(points.x[orig], points.y[orig])           # [nw, nb, 16]
         q = jax.tree.map(lambda a, b: F._select(valid, a, b), q, zero_aff)
         return (t + 1, C.add_mixed(buckets, q))
 
-    _, buckets = jax.lax.while_loop(cond, body, (jnp.uint32(0), buckets0))
+    _, buckets = jax.lax.while_loop(cond, body, (jnp.int32(0), buckets0))
 
     def _suffix_fold(t):
-        """t_b <- sum_{j>=b} t_j via Hillis-Steele; fori traces add() once."""
-        inf = C.infinity((nb,))
-        pos = jnp.arange(nb, dtype=jnp.int32)
+        """t_b <- sum_{j>=b} t_j along axis 1; fori traces add() once."""
+        inf = C.infinity((nw, nb))
+        pos = jnp.arange(nb, dtype=jnp.int32)[None, :]
 
         def level(l, t):
             s = jnp.left_shift(jnp.int32(1), l)
-            idx = jnp.clip(pos + s, 0, nb - 1)
-            valid = pos + s < nb
-            partner = JPoint(t.x[idx], t.y[idx], t.z[idx])
+            idx = jnp.broadcast_to(jnp.clip(pos + s, 0, nb - 1), (nw, nb))
+            valid = jnp.broadcast_to(pos + s < nb, (nw, nb))
+            partner = JPoint(
+                jnp.take_along_axis(t.x, idx[..., None], axis=1),
+                jnp.take_along_axis(t.y, idx[..., None], axis=1),
+                jnp.take_along_axis(t.z, idx[..., None], axis=1),
+            )
             partner = jax.tree.map(
                 lambda a, b: F._select(valid, a, b), partner, inf
             )
@@ -109,10 +118,10 @@ def _window_sum(points: APoint, digits, c: int) -> JPoint:
     # weighted sum: sum_b b*S_b = sum_{b>=1} suffix(S)_b
     t = _suffix_fold(buckets)
     t = jax.tree.map(
-        lambda a, b: a.at[0].set(b[0]), t, C.infinity((nb,))
+        lambda a, b: a.at[:, 0].set(b[:, 0]), t, C.infinity((nw, nb))
     )  # drop T_0
     total = _suffix_fold(t)
-    return JPoint(total.x[:1], total.y[:1], total.z[:1])
+    return JPoint(total.x[:, 0], total.y[:, 0], total.z[:, 0])
 
 
 def msm(points: APoint, scalars_mont, c: int = 8) -> JPoint:
@@ -122,13 +131,14 @@ def msm(points: APoint, scalars_mont, c: int = 8) -> JPoint:
     """
     nw = _n_windows(c)
     digits = window_digits(scalars_mont, c)
-    sums = [_window_sum(points, digits[w], c) for w in range(nw)]
+    sums = _all_window_sums(points, digits, c)  # JPoint [nw]
     acc = C.infinity((1,))
     for w in reversed(range(nw)):
         if w != nw - 1:
             for _ in range(c):
                 acc = C.double(acc)
-        acc = C.add(acc, sums[w])
+        acc = C.add(acc, JPoint(sums.x[w : w + 1], sums.y[w : w + 1],
+                                sums.z[w : w + 1]))
     return acc
 
 

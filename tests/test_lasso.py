@@ -18,7 +18,7 @@ MOD = F.FR.modulus
 
 @pytest.fixture(autouse=True, scope="module")
 def small_tables():
-    ST.set_config(8)   # M = 256, 16-bit operands
+    ST.set_config(4)   # M = 16, 8-bit operands: CPU-test sized GKR trees
     yield
     ST.set_config(16)
 
