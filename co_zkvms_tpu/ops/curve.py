@@ -93,6 +93,10 @@ def neg(p: JPoint) -> JPoint:
 @jax.jit
 def double(p: JPoint) -> JPoint:
     """Jacobian doubling (dbl-2009-l, a=0): 2M + 5S per point."""
+    if _batch_of(p.x.shape[:-1]) >= 16 and jax.default_backend() == "tpu":
+        from . import curve_pallas
+
+        return curve_pallas.double(p)
     a = _sq(p.x)
     b = _sq(p.y)
     c = _sq(b)
@@ -140,9 +144,22 @@ def add(p: JPoint, q: JPoint) -> JPoint:
     return res
 
 
+def _batch_of(shape):
+    n = 1
+    for d in shape:
+        n *= d
+    return n
+
+
 @jax.jit
 def add_mixed(p: JPoint, q: APoint) -> JPoint:
-    """Complete mixed addition Jacobian + affine (madd-2007-bl)."""
+    """Complete mixed addition Jacobian + affine (madd-2007-bl).
+
+    TPU + batch >= 16 dispatches to the fused Pallas kernel (bit-exact)."""
+    if _batch_of(p.x.shape[:-1]) >= 16 and jax.default_backend() == "tpu":
+        from . import curve_pallas
+
+        return curve_pallas.add_mixed(p, q)
     z1z1 = _sq(p.z)
     u2 = _mul(q.x, z1z1)
     s2 = _mul(q.y, _mul(p.z, z1z1))

@@ -29,11 +29,28 @@ MASK = 0xFFFF  # python ints only inside the kernel: pallas forbids captured
 SIXTEEN = 16   # traced constants
 
 
-def _mul_kernel_body(a_ref, b_ref, o_ref, mod_limbs, n0inv):
-    a = [a_ref[i, :] for i in range(16)]
-    b = [b_ref[i, :] for i in range(16)]
+# --- limb-vector helpers (operate on lists of 16 [BLK] u32 vectors) ---------
 
-    # schoolbook product -> 32 loose columns (< 2^22, fits u32)
+
+def _cond_sub_m(res, carry, m):
+    """res (canonical digits) + carry flag -> res mod m (one subtract)."""
+    borrow = None
+    diff = []
+    for k in range(16):
+        v = res[k] - m[k] - (0 if borrow is None else borrow)
+        diff.append(v & MASK)
+        borrow = (v >> 31) & 1
+    if carry is None:
+        take = jnp.logical_not(borrow.astype(bool))
+    else:
+        take = jnp.logical_or(
+            carry.astype(bool), jnp.logical_not(borrow.astype(bool))
+        )
+    return [jnp.where(take, d, r) for d, r in zip(diff, res)]
+
+
+def _mm(a, b, m, n0):
+    """Montgomery product of limb-vector lists."""
     cols = [None] * 32
     for i in range(16):
         for j in range(16):
@@ -43,51 +60,78 @@ def _mul_kernel_body(a_ref, b_ref, o_ref, mod_limbs, n0inv):
             k = i + j
             cols[k] = lo if cols[k] is None else cols[k] + lo
             cols[k + 1] = hi if cols[k + 1] is None else cols[k + 1] + hi
-
-    # carry-canonicalize all 32 columns
     carry = None
     for k in range(32):
         v = cols[k] if carry is None else cols[k] + carry
         cols[k] = v & MASK
         carry = v >> SIXTEEN
-
-    # Montgomery REDC: 16 rounds, each zeroes the current lowest column
-    m = [int(v) for v in mod_limbs]
-    n0 = n0inv
     for i in range(16):
         mi = (cols[i] * n0) & MASK
-        c = None
         for j in range(16):
             p = mi * m[j]
-            lo = p & MASK
-            hi = p >> SIXTEEN
-            cols[i + j] = cols[i + j] + lo
-            cols[i + j + 1] = cols[i + j + 1] + hi
-        carry = cols[i] >> SIXTEEN  # column i is an exact multiple of 2^16
-        cols[i + 1] = cols[i + 1] + carry
-        # re-canonicalize the window we keep touching to bound growth
-        # (columns stay < 2^23 across rounds; single final pass suffices)
-
-    # final carry pass over result columns 16..31
+            cols[i + j] = cols[i + j] + (p & MASK)
+            cols[i + j + 1] = cols[i + j + 1] + (p >> SIXTEEN)
+        cols[i + 1] = cols[i + 1] + (cols[i] >> SIXTEEN)
     res = []
     carry = None
     for k in range(16, 32):
         v = cols[k] if carry is None else cols[k] + carry
         res.append(v & MASK)
         carry = v >> SIXTEEN
+    return _cond_sub_m(res, carry, m)
 
-    # conditional subtract modulus (result < 2m)
+
+def _madd(a, b, m):
+    """(a + b) mod m on limb-vector lists."""
+    s = []
+    carry = None
+    for k in range(16):
+        v = a[k] + b[k] + (0 if carry is None else carry)
+        s.append(v & MASK)
+        carry = v >> SIXTEEN
+    return _cond_sub_m(s, carry, m)
+
+
+def _msub(a, b, m):
+    """(a - b) mod m on limb-vector lists."""
+    d = []
     borrow = None
-    diff = []
     for k in range(16):
-        v = res[k] - m[k] - (0 if borrow is None else borrow)
-        diff.append(v & MASK)
+        v = a[k] - b[k] - (0 if borrow is None else borrow)
+        d.append(v & MASK)
         borrow = (v >> 31) & 1
-    take_diff = jnp.logical_or(
-        carry.astype(bool), jnp.logical_not(borrow.astype(bool))
-    )
+    underflow = borrow.astype(bool)
+    out = []
+    carry = None
     for k in range(16):
-        o_ref[k, :] = jnp.where(take_diff, diff[k], res[k])
+        v = d[k] + m[k] + (0 if carry is None else carry)
+        out.append(v & MASK)
+        carry = v >> SIXTEEN
+    return [jnp.where(underflow, o, x) for o, x in zip(out, d)]
+
+
+def _mdbl(a, m):
+    return _madd(a, a, m)
+
+
+def _mis_zero(a):
+    acc = a[0]
+    for k in range(1, 16):
+        acc = acc | a[k]
+    return acc == 0
+
+
+def _msel(mask, a, b):
+    return [jnp.where(mask, x, y) for x, y in zip(a, b)]
+
+
+def _mul_kernel_body(a_ref, b_ref, o_ref, mod_limbs, n0inv):
+    a = [a_ref[i, :] for i in range(16)]
+    b = [b_ref[i, :] for i in range(16)]
+    m = [int(v) for v in mod_limbs]
+    res = _mm(a, b, m, n0inv)
+    for k in range(16):
+        o_ref[k, :] = res[k]
 
 
 @functools.partial(jax.jit, static_argnums=0)
