@@ -16,3 +16,16 @@ replicated 3-party secret sharing), built TPU-first:
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compile cache: the limb/point kernels are compiled once per
+# (shape, kernel) — without this every process pays minutes of (remote) TPU
+# compilation. Opt out with COZK_NO_COMPILE_CACHE=1.
+import os as _os
+
+if not _os.environ.get("COZK_NO_COMPILE_CACHE"):
+    import jax as _jax
+
+    if _jax.config.jax_compilation_cache_dir is None:
+        _cache = _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache")
+        _jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_cache))
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -111,7 +111,14 @@ def double(p: JPoint) -> JPoint:
 
 @jax.jit
 def add(p: JPoint, q: JPoint) -> JPoint:
-    """Complete Jacobian addition (add-2007-bl + edge-case selects)."""
+    """Complete Jacobian addition (add-2007-bl + edge-case selects).
+
+    TPU + batch >= 16 dispatches to the fused Pallas kernel (bit-exact)."""
+    if _batch_of(jnp.broadcast_shapes(p.x.shape[:-1], q.x.shape[:-1])) >= 16 \
+            and jax.default_backend() == "tpu":
+        from . import curve_pallas
+
+        return curve_pallas.add(p, q)
     z1z1 = _sq(p.z)
     z2z2 = _sq(q.z)
     u1 = _mul(p.x, z2z2)
