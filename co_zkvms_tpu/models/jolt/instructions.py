@@ -71,6 +71,59 @@ class DeviceOps:
         return F.from_int(FR, c % MOD)
 
 
+class SharedDeviceOps:
+    """Collation ops over Rep3 share stacks [3, h, 16].
+
+    Publics (consts, the eq factor) stay [h, 16]/[16]; share-by-share
+    products use the Rep3 3-term local mul; public constants add/sub via the
+    party-0 convention. Detection is structural: stacks have ndim >= 3.
+    """
+
+    one = None  # set lazily (F.ones_mont at import order safety)
+
+    def __init__(self):
+        self.one = F.ones_mont(FR)
+
+    @staticmethod
+    def _shared(x):
+        return hasattr(x, "ndim") and x.ndim >= 3
+
+    @staticmethod
+    def _lift(pub, like):
+        import jax.numpy as jnp
+
+        p0 = jnp.broadcast_to(pub, like.shape[1:])
+        z = jnp.zeros_like(p0)
+        return jnp.stack([p0, z, z])
+
+    def mul(self, a, b):
+        from ...parallel import mpc
+
+        if self._shared(a) and self._shared(b):
+            return mpc.mul(FR, a, b)
+        return F.mul(FR, a, b)
+
+    def add(self, a, b):
+        if self._shared(a) != self._shared(b):
+            if self._shared(a):
+                b = self._lift(b, a)
+            else:
+                a = self._lift(a, b)
+        return F.add(FR, a, b)
+
+    def sub(self, a, b):
+        if self._shared(a) != self._shared(b):
+            if self._shared(a):
+                b = self._lift(b, a)
+            else:
+                a = self._lift(a, b)
+        return F.sub(FR, a, b)
+
+    @staticmethod
+    def const(c):
+        return F.from_int(FR, c % MOD)
+
+
 @dataclass(frozen=True)
 class InstrSpec:
     name: str

@@ -38,13 +38,33 @@ from .field import FR, FieldSpec
 
 _round_fn_cache = {}
 
+# below this element count, rounds run at a FIXED padded shape (bound tables
+# are zero-padded back up), so XLA compiles ONE kernel per comb instead of
+# one per table size. Requires comb(all-zero restrictions) == 0, which holds
+# for every comb in this framework (each has a zero-padded eq/public factor).
+FIXED_CUTOFF = 1 << 10
+
 
 def _elem_slice(p, sl):
     return p[..., sl, :]
 
 
-def _make_round_fn(spec: FieldSpec, degree: int, comb, shared: bool):
-    """Build (and jit) the per-round kernel for a given comb function."""
+def _pad_elems(p, target):
+    h = p.shape[-2]
+    if h == target:
+        return p
+    pad = [(0, 0)] * p.ndim
+    pad[-2] = (0, target - h)
+    return jnp.pad(p, pad)
+
+
+def _make_round_fn(spec: FieldSpec, degree: int, comb, shared: bool,
+                   repad: bool = False):
+    """Build (and jit) the per-round kernel for a given comb function.
+
+    ``repad=True`` keeps the output tables at the INPUT shape by zero-padding
+    the bound halves back up — the fixed-shape small-round regime.
+    """
 
     def round_fn(state, polys, mask=None, consts=None):
         evens = [_elem_slice(p, slice(0, None, 2)) for p in polys]
@@ -72,6 +92,8 @@ def _make_round_fn(spec: FieldSpec, degree: int, comb, shared: bool):
             F.add(spec, e, F.mul(spec, jnp.broadcast_to(r, s.shape), s))
             for e, s in zip(evens, slopes)
         ]
+        if repad:
+            bound = [_pad_elems(b, polys[0].shape[-2]) for b in bound]
         return state, r, msg, bound
 
     return jax.jit(round_fn)
@@ -106,14 +128,30 @@ def prove(
     key = (spec, degree, comb, shared)
     if key not in _round_fn_cache:
         _round_fn_cache[key] = _make_round_fn(spec, degree, comb, shared)
+    key_f = (spec, degree, comb, shared, "fixed")
+    if key_f not in _round_fn_cache:
+        _round_fn_cache[key_f] = _make_round_fn(
+            spec, degree, comb, shared, repad=True
+        )
     round_fn = _round_fn_cache[key]
+    fixed_fn = _round_fn_cache[key_f]
 
+    in_fixed = False
     rs, msgs = [], []
     for j in range(nv):
+        h = n >> j
+        if not in_fixed and h <= FIXED_CUTOFF:
+            # enter the fixed-shape regime: pad every table to the cutoff
+            polys = [_pad_elems(p, FIXED_CUTOFF) for p in polys]
+            in_fixed = True
         mask = None if masks is None else masks[j]
-        state, r, msg, polys = round_fn(state, polys, mask, consts)
+        fn = fixed_fn if in_fixed else round_fn
+        state, r, msg, polys = fn(state, polys, mask, consts)
         rs.append(r)
         msgs.append(msg)
+    if in_fixed:
+        # bound values live in the active prefix; index 0 is the final value
+        polys = [_elem_slice(p, slice(0, 1)) for p in polys]
     return SumcheckResult(
         state=state,
         challenges=jnp.stack(rs),
