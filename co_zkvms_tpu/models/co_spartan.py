@@ -100,13 +100,28 @@ def prove_rep3(
     z_ints,
     share_key=None,
     mask_key=None,
+    mesh=None,
 ) -> SpartanProof:
-    """3-party MPC Spartan prove (in-process simulation of all parties;
-    place the share stacks' party axis on a size-3 mesh axis to distribute)."""
+    """3-party MPC Spartan prove (in-process simulation of all parties).
+
+    ``mesh``: optional jax Mesh with a "party" axis (size 3) and/or a
+    "chunk" axis — the share stacks are placed
+    P("party", "chunk") and every protocol op runs GSPMD-sharded; the chunk
+    axis is the reference's worker axis (split_poly), the party axis its
+    Rep3 ring.
+    """
     nv = index.nv
     share_key = share_key if share_key is not None else jax.random.key(0)
     mask_key = mask_key if mask_key is not None else jax.random.key(1)
     io_table, z_shares, w_shares = share_witness(index, z_ints, share_key)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+        party = "party" if "party" in mesh.shape else None
+        chunk = "chunk" if "chunk" in mesh.shape else None
+        spec = NamedSharding(mesh, Pspec(party, chunk))
+        z_shares = jax.device_put(z_shares, spec)
+        w_shares = jax.device_put(w_shares, spec)
     crng = CorrelatedRng.create(mask_key)
 
     w_comm = _commit_shares(srs, w_shares)

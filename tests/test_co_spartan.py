@@ -31,6 +31,17 @@ def test_co_spartan_matches_single_party(setup):
     assert spartan.verify(index, srs, [35], mpc_proof)
 
 
+def test_co_spartan_mesh_sharded(setup):
+    """Party axis on a 3-wide mesh axis, hypercube on the chunk axis."""
+    index, srs, z = setup
+    devs = jax.devices()[:6]
+    mesh = jax.sharding.Mesh(np.array(devs).reshape(3, 2), ("party", "chunk"))
+    sharded = co_spartan.prove_rep3(index, srs, z, mesh=mesh)
+    local = co_spartan.prove_rep3(index, srs, z)
+    assert sharded == local  # sharding is placement only — same proof
+    assert spartan.verify(index, srs, [35], sharded)
+
+
 def test_co_spartan_different_share_keys_same_proof(setup):
     index, srs, z = setup
     p1 = co_spartan.prove_rep3(
