@@ -42,7 +42,7 @@ _round_fn_cache = {}
 # are zero-padded back up), so XLA compiles ONE kernel per comb instead of
 # one per table size. Requires comb(all-zero restrictions) == 0, which holds
 # for every comb in this framework (each has a zero-padded eq/public factor).
-FIXED_CUTOFF = 1 << 10
+FIXED_CUTOFF = 1 << 8
 
 
 def _elem_slice(p, sl):

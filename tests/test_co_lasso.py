@@ -24,7 +24,7 @@ def srs():
 @pytest.mark.slow
 def test_co_lasso_matches_single_party(rng, srs):
     w = ST.WORD
-    names = ("ADD", "AND", "EQ")
+    names = ("ADD", "AND", "EQ", "SUB", "XOR")
     queries = []
     for _ in range(7):
         op = names[rng.randrange(len(names))]

@@ -61,7 +61,7 @@ def srs():
 
 def test_lasso_e2e(rng, srs):
     w = ST.WORD
-    names = ("ADD", "AND", "EQ", "LTU")
+    names = ("ADD", "AND", "EQ", "SUB", "XOR")  # match test_jolt_e2e: shares compiled kernels
     queries = []
     for _ in range(13):
         op = names[rng.randrange(len(names))]
@@ -85,7 +85,7 @@ def test_lasso_e2e(rng, srs):
 
 def test_lasso_rejects_tampered_counter(rng, srs):
     w = ST.WORD
-    names = ("AND",)
+    names = ("ADD", "AND", "EQ", "SUB", "XOR")
     queries = [("AND", 5, 7, 5 & 7), ("AND", 5, 7, 5 & 7)]
     wit = lasso.build_witness(queries, instr_names=names)
     # corrupt a read counter: memory check must fail
