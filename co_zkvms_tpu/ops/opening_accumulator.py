@@ -1,0 +1,128 @@
+"""Batched opening accumulator: many (poly, point, value) claims -> one proof.
+
+Maps co-jolt's Rep3ProverOpeningAccumulator / Jolt's opening reduction
+(poly/opening_proof.rs:63-438 — SURVEY.md §2.8): openings of k committed
+polynomials at k different points reduce to ONE PST13 opening via
+
+  sum_i rho^i * v_i  =  sum_x [ sum_i rho^i * eq(r_i, x) * p_i(x) ]
+
+— a degree-2 sumcheck over the common domain; at its endpoint z the claims
+p_i(z) are eta-RLC batched into a single PST13 opening. Works for public
+tables and Rep3 share stacks (per-party proofs merged by mpc_pcs).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from . import field as F
+from . import poly as P
+from . import pst13
+from . import sumcheck as SC
+from . import transcript as T
+from .field import FR
+
+MOD = FR.modulus
+LABEL = b"co_zkvms_tpu/opening_accumulator/v1"
+
+
+class ReducedOpeningProof(NamedTuple):
+    sumcheck_msgs: list         # [nv][3] ints
+    z_evals: list               # p_i(z) for each claim
+    batch_proof: pst13.OpeningProof
+
+
+def _comb_factory(k):
+    def comb(polys, consts):
+        (rhos,) = consts
+        acc = None
+        for i in range(k):
+            term = F.mul(FR, polys[2 * i], polys[2 * i + 1])
+            term = F.mul(FR, rhos[i], term)
+            acc = term if acc is None else F.add(FR, acc, term)
+        return acc
+
+    return comb
+
+
+_comb_cache = {}
+
+
+def _comb(k):
+    if k not in _comb_cache:
+        _comb_cache[k] = _comb_factory(k)
+    return _comb_cache[k]
+
+
+def reduce_and_prove(ht: T.HostTranscript, claims, srs: pst13.SRS):
+    """``claims``: list of (table [2^nv,16], point [nv,16] device, value int).
+
+    All tables share one domain size. Absorbs values, runs the reduction
+    sumcheck on-device, batch-opens at its endpoint. Returns the proof.
+    """
+    k = len(claims)
+    for _, _, v in claims:
+        ht.absorb(v)
+    rho = ht.challenge()
+    rhos = F.from_int(FR, [pow(rho, i, MOD) for i in range(k)])
+
+    polys = []
+    for table, point, _ in claims:
+        polys.append(P.eq_table(FR, point))
+        polys.append(table)
+
+    res = SC.prove(FR, ht.device_state(), polys, degree=2, comb=_comb(k),
+                   consts=(rhos,))
+    ht.state = T.HostTranscript.from_device_state(res.state).state
+    z = res.challenges
+
+    z_evals = []
+    for i, (table, _, _) in enumerate(claims):
+        z_evals.append(int(F.to_int(FR, res.final_polys[2 * i + 1][..., 0, :])))
+        ht.absorb(z_evals[i])
+    eta = ht.challenge()
+    _, batch_proof = pst13.batch_open(
+        srs, [t for t, _, _ in claims], F.from_int(FR, eta), z
+    )
+    return ReducedOpeningProof(
+        sumcheck_msgs=SC.round_msgs_to_ints(res.round_msgs),
+        z_evals=z_evals,
+        batch_proof=batch_proof,
+    )
+
+
+def _eq_eval_ints(r, s):
+    acc = 1
+    for a, b in zip(r, s):
+        acc = acc * (a * b + (1 - a) * (1 - b)) % MOD
+    return acc
+
+
+def verify(ht: T.HostTranscript, claims, comms, proof: ReducedOpeningProof,
+           srs: pst13.SRS) -> bool:
+    """``claims``: [(point_ints, value_int)]; ``comms``: [Commitment]."""
+    k = len(claims)
+    for _, v in claims:
+        ht.absorb(v)
+    rho = ht.challenge()
+    batched_claim = sum(
+        pow(rho, i, MOD) * v for i, (_, v) in enumerate(claims)
+    ) % MOD
+    try:
+        z, expected = SC.verify(proof.sumcheck_msgs, batched_claim, ht)
+    except ValueError:
+        return False
+    got = 0
+    for i, (point, _) in enumerate(claims):
+        got = (got + pow(rho, i, MOD) * _eq_eval_ints(point, z)
+               * proof.z_evals[i]) % MOD
+    if got != expected:
+        return False
+    for v in proof.z_evals:
+        ht.absorb(v)
+    eta = ht.challenge()
+    agg = pst13.aggregate_evals_ints(eta, proof.z_evals)
+    return pst13.batch_verify(srs, comms, proof.z_evals, eta, z, agg,
+                              proof.batch_proof)
