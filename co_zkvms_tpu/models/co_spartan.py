@@ -67,31 +67,12 @@ def _comb1_shared(polys):
     return F.mul(FR, eq, F.sub(FR, prod, cz))
 
 
-def _commit_shares(srs, w_shares):
-    """Per-party commitments summed into the witness commitment (host G1)."""
-    parts = [pst13.commit(srs, w_shares[p]) for p in range(3)]
-    acc = None
-    for cm in parts:
-        acc = bn.add(acc, cm.point())
-    return pst13.Commitment(xy=bn.g1_coords(acc))
+# per-party commit/open share merges live in models/mpc_pcs.py (the Rep3
+# CommitmentScheme analog); co_spartan delegates to them.
+from . import mpc_pcs as _mpc_pcs
 
-
-def _open_shares(srs, w_shares, point):
-    """Per-party PST13 openings; value and proof points sum across parties."""
-    vals, proofs = [], []
-    for p in range(3):
-        v, pr = pst13.open_at(srs, w_shares[p], point)
-        vals.append(v)
-        proofs.append(pr)
-    value = sum(vals) % MOD
-    nv = len(proofs[0].pis)
-    pis = []
-    for k in range(nv):
-        acc = None
-        for pr in proofs:
-            acc = bn.add(acc, bn.g1_from_coords(pr.pis[k]))
-        pis.append(bn.g1_coords(acc))
-    return value, pst13.OpeningProof(pis=tuple(pis))
+_commit_shares = _mpc_pcs.commit_shares
+_open_shares = _mpc_pcs.open_shares
 
 
 def prove_rep3(

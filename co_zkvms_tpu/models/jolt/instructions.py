@@ -127,7 +127,7 @@ class SharedDeviceOps:
 @dataclass(frozen=True)
 class InstrSpec:
     name: str
-    index_mode: str                     # "xy" | "sum" | "diff"
+    index_mode: str                     # xy | sum | diff | prod | shift | x
     subtable_chunks: tuple              # ((subtable_name, chunk_idx), ...)
     degree: int                         # max per-variable degree of combine
     combine: Callable                   # (ops, ev: dict[(sub, chunk)]) -> val
@@ -139,6 +139,20 @@ class InstrSpec:
             return ST.chunks_of_index(x + y)
         if self.index_mode == "diff":
             return ST.chunks_of_index((x - y) + (1 << ST.WORD))
+        if self.index_mode == "prod":
+            # MUL family: index = x*y as a 2*WORD-bit integer chunked into C
+            # LOG_M-bit pieces (multiply_and_chunk_operands, mul.rs:61-69)
+            return ST.chunks_of_index(x * y)
+        if self.index_mode == "shift":
+            # chunk_i = x_byte_i || (y % WORD)  (chunk_and_concatenate_for_shift)
+            out = []
+            for i in range(C):
+                shift = ST.BYTE * (C - 1 - i)
+                xb = (x >> shift) & ((1 << ST.BYTE) - 1)
+                out.append((xb << ST.BYTE) | (y % ST.WORD))
+            return out
+        if self.index_mode == "x":
+            return ST.chunks_of_index(x)
         raise ValueError(self.index_mode)
 
 
@@ -229,6 +243,124 @@ def _all(sub):
     return tuple((sub, i) for i in range(C))
 
 
+# --- shift / mul / single-operand / assert combine functions ----------------
+
+
+def _combine_sll(ops, ev):
+    """Σ_i sll_{C-1-i}(chunk_i) · 2^(BYTE·(C-1-i))  (sll.rs:33-36)."""
+    acc = None
+    for i in range(C):
+        j = C - 1 - i
+        term = ops.mul(ops.const(1 << (ST.BYTE * j)), ev[(f"sll_{j}", i)])
+        acc = term if acc is None else ops.add(acc, term)
+    return acc
+
+
+def _combine_srl(ops, ev):
+    """Plain sum — srl_j values are absolutely positioned (srl.rs)."""
+    acc = None
+    for i in range(C):
+        term = ev[(f"srl_{C - 1 - i}", i)]
+        acc = term if acc is None else ops.add(acc, term)
+    return acc
+
+
+def _combine_sra(ops, ev):
+    return ops.add(_combine_srl(ops, ev), ev[("sra_sign", 0)])
+
+
+def _concat_low_half(ops, ev, sub="identity"):
+    """Identity chunks C/2..C-1 concatenated with LOG_M-bit weights: the low
+    WORD bits of the lookup index (mul.rs combine, MOVE/ADVICE)."""
+    acc = None
+    for k, i in enumerate(range(C // 2, C)):
+        w = 1 << (ST.LOG_M * (C - 1 - i))
+        term = ops.mul(ops.const(w), ev[(sub, i)])
+        acc = term if acc is None else ops.add(acc, term)
+    return acc
+
+
+def _concat_high_half(ops, ev, sub="identity"):
+    """Identity chunks 0..C/2 concatenated: the high WORD bits (mulhu.rs)."""
+    acc = None
+    for i in range(C // 2):
+        w = 1 << (ST.LOG_M * (C // 2 - 1 - i))
+        term = ops.mul(ops.const(w), ev[(sub, i)])
+        acc = term if acc is None else ops.add(acc, term)
+    return acc
+
+
+def _combine_movsign(ops, ev):
+    """sign_bit(x) * ALL_ONES (virtual_movsign.rs:69-87). The operand's sign
+    bit is the MSB of chunk C/2 (the top chunk of the WORD-bit value)."""
+    return ops.mul(ops.const((1 << ST.WORD) - 1), ev[("sign_hi", C // 2)])
+
+
+def _combine_single(sub):
+    def comb(ops, ev):
+        return ev[(sub, C - 1)]
+    return comb
+
+
+def _combine_assert_lte(ops, ev):
+    return ops.add(_combine_ltu(ops, ev), _combine_eq(ops, ev))
+
+
+def _zero_prod(ops, ev, sub):
+    acc = ev[(sub, 0)]
+    for i in range(1, C):
+        acc = ops.mul(acc, ev[(sub, i)])
+    return acc
+
+
+def _combine_valid_unsigned_rem(ops, ev):
+    """remainder < divisor OR divisor == 0
+    (virtual_assert_valid_unsigned_remainder.rs:66-71)."""
+    return ops.add(_combine_ltu(ops, ev), _zero_prod(ops, ev, "zero_y"))
+
+
+def _combine_valid_div0(ops, ev):
+    """1 - (divisor==0) + (divisor==0 AND quotient==MAX)
+    (virtual_assert_valid_div0.rs:36-42)."""
+    dz = _zero_prod(ops, ev, "zero_x")
+    ok0 = _zero_prod(ops, ev, "div0")
+    return ops.add(ops.sub(ops.one, dz), ok0)
+
+
+def _combine_valid_signed_rem(ops, ev):
+    """(1-sr-sd)·LTU_abs + sr·sd·(1-EQ_abs) + (1-sr)·sd·(r==0) + (d==0)
+    (virtual_assert_valid_signed_remainder.rs:40-67)."""
+    sr = ev[("left_msb", 0)]
+    sd = ev[("right_msb", 0)]
+    ltu_sum = ev[("lt_abs", 0)]
+    eq_prod = ev[("eq_abs", 0)]
+    for i in range(1, C):
+        ltu_sum = ops.add(ltu_sum, ops.mul(ev[("ltu", i)], eq_prod))
+        eq_prod = ops.mul(eq_prod, ev[("eq", i)])
+    r_zero = _zero_prod(ops, ev, "zero_x")
+    d_zero = _zero_prod(ops, ev, "zero_y")
+    t1 = ops.mul(ops.sub(ops.sub(ops.one, sr), sd), ltu_sum)
+    t2 = ops.mul(ops.mul(sr, sd), ops.sub(ops.one, eq_prod))
+    t3 = ops.mul(ops.mul(ops.sub(ops.one, sr), sd), r_zero)
+    return ops.add(ops.add(ops.add(t1, t2), t3), d_zero)
+
+
+def _ident_low():
+    return tuple(("identity", i) for i in range(C // 2, C))
+
+
+def _ident_high():
+    return tuple(("identity", i) for i in range(C // 2))
+
+
+def _shift_tables():
+    return tuple((f"sll_{C - 1 - i}", i) for i in range(C)), \
+        tuple((f"srl_{C - 1 - i}", i) for i in range(C))
+
+
+_SLL_TABLES, _SRL_TABLES = _shift_tables()
+
+
 INSTRUCTIONS = {
     "AND": InstrSpec("AND", "xy", _all("and"), 1, _combine_and),
     "OR": InstrSpec("OR", "xy", _all("or"), 1, _combine_or),
@@ -253,7 +385,132 @@ INSTRUCTIONS = {
         + tuple(("ltu", i) for i in range(1, C))
         + tuple(("eq", i) for i in range(1, C)),
         6, _combine_ge),
+    # shifts (sll.rs / srl.rs / sra.rs: per-chunk positioned subtables)
+    "SLL": InstrSpec("SLL", "shift", _SLL_TABLES, 1, _combine_sll),
+    "SRL": InstrSpec("SRL", "shift", _SRL_TABLES, 1, _combine_srl),
+    "SRA": InstrSpec("SRA", "shift", _SRL_TABLES + (("sra_sign", 0),), 1,
+                     _combine_sra),
+    # MUL family (mul.rs / mulu.rs / mulhu.rs: index = product, identity reads)
+    "MUL": InstrSpec("MUL", "prod", _ident_low(), 1, _concat_low_half),
+    "MULU": InstrSpec("MULU", "prod", _ident_low(), 1, _concat_low_half),
+    "MULHU": InstrSpec("MULHU", "prod", _ident_high(), 1, _concat_high_half),
+    # virtual instructions (virtual_*.rs)
+    "MOVSIGN": InstrSpec("MOVSIGN", "x", (("sign_hi", C // 2),), 1,
+                         _combine_movsign),
+    "MOVE": InstrSpec("MOVE", "x", _ident_low(), 1, _concat_low_half),
+    "ADVICE": InstrSpec("ADVICE", "x", _ident_low(), 1, _concat_low_half),
+    "POW2": InstrSpec("POW2", "x", (("pow2", C - 1),), 1,
+                      _combine_single("pow2")),
+    "SRA_PADDING": InstrSpec("SRA_PADDING", "x", (("rs_padding", C - 1),), 1,
+                             _combine_single("rs_padding")),
+    "SEXT8": InstrSpec("SEXT8", "x", (("sext8", C - 1),), 1,
+                       _combine_single("sext8")),
+    "SEXT16": InstrSpec(
+        "SEXT16", "x", (("sext16_lo", C - 1), ("sext16_hi", C - 2)), 1,
+        lambda ops, ev: ops.add(ev[("sext16_lo", C - 1)],
+                                ev[("sext16_hi", C - 2)])),
+    "ASSERT_LTE": InstrSpec(
+        "ASSERT_LTE", "xy", _all("ltu") + _all("eq"), C, _combine_assert_lte),
+    "ASSERT_VALID_UNSIGNED_REMAINDER": InstrSpec(
+        "ASSERT_VALID_UNSIGNED_REMAINDER", "xy",
+        _all("ltu") + _all("eq") + _all("zero_y"), C,
+        _combine_valid_unsigned_rem),
+    "ASSERT_VALID_SIGNED_REMAINDER": InstrSpec(
+        "ASSERT_VALID_SIGNED_REMAINDER", "xy",
+        (("left_msb", 0), ("right_msb", 0), ("lt_abs", 0), ("eq_abs", 0))
+        + tuple(("ltu", i) for i in range(1, C))
+        + tuple(("eq", i) for i in range(1, C))
+        + _all("zero_x") + _all("zero_y"),
+        C + 2, _combine_valid_signed_rem),
+    "ASSERT_VALID_DIV0": InstrSpec(
+        "ASSERT_VALID_DIV0", "xy", _all("zero_x") + _all("div0"), C,
+        _combine_valid_div0),
+    "ASSERT_HALFWORD_ALIGNMENT": InstrSpec(
+        "ASSERT_HALFWORD_ALIGNMENT", "sum", (("lsb_zero", C - 1),), 1,
+        _combine_single("lsb_zero")),
 }
+
+def lookup_entry(name: str, x: int, y: int = 0) -> int:
+    """Ground-truth lookup output at the CURRENT geometry (WORD bits).
+
+    Mirrors the reference's per-instruction ``lookup_entry`` implementations
+    (jolt/instruction/*.rs); the conformance test checks every collation
+    against this.
+    """
+    w = ST.WORD
+    mask = (1 << w) - 1
+    x &= mask
+    y &= mask
+
+    def sx(v):
+        return v - (1 << w) if (v >> (w - 1)) & 1 else v
+
+    if name == "ADD":
+        return (x + y) & mask
+    if name == "SUB":
+        return (x - y) & mask
+    if name == "AND":
+        return x & y
+    if name == "OR":
+        return x | y
+    if name == "XOR":
+        return x ^ y
+    if name == "EQ":
+        return int(x == y)
+    if name == "NE":
+        return int(x != y)
+    if name == "LTU":
+        return int(x < y)
+    if name == "GEU":
+        return int(x >= y)
+    if name == "SLT":
+        return int(sx(x) < sx(y))
+    if name == "GE":
+        return int(sx(x) >= sx(y))
+    if name == "SLL":
+        return (x << (y % w)) & mask
+    if name == "SRL":
+        return x >> (y % w)
+    if name == "SRA":
+        return (sx(x) >> (y % w)) & mask
+    if name == "MOVSIGN":
+        return mask if (x >> (w - 1)) & 1 else 0
+    if name in ("MUL", "MULU"):
+        return (x * y) & mask
+    if name == "MULHU":
+        return ((x * y) >> w) & mask
+    if name in ("MOVE", "ADVICE"):
+        return x
+    if name == "POW2":
+        return 1 << (x % w)
+    if name == "SRA_PADDING":
+        s = x % w
+        return ((1 << s) - 1) << (w - s)
+    if name == "SEXT8":
+        b = x & 0xFF
+        if w <= 8:
+            return b & mask
+        return (b | (mask ^ 0xFF)) & mask if b >> 7 else b
+    if name == "SEXT16":
+        h = x & 0xFFFF
+        if w <= 16:
+            return h & mask
+        return (h | (mask ^ 0xFFFF)) & mask if h >> 15 else h
+    if name == "ASSERT_LTE":
+        return int(x <= y)
+    if name == "ASSERT_VALID_UNSIGNED_REMAINDER":
+        return int(y == 0 or x < y)
+    if name == "ASSERT_VALID_SIGNED_REMAINDER":
+        r, d = sx(x), sx(y)
+        if r == 0 or d == 0:
+            return 1
+        return int(abs(r) < abs(d) and (r < 0) == (d < 0))
+    if name == "ASSERT_VALID_DIV0":
+        return int(x != 0 or y == mask)
+    if name == "ASSERT_HALFWORD_ALIGNMENT":
+        return int((x + y) % 2 == 0)
+    raise KeyError(name)
+
 
 # tracer op -> (lookup instruction, how y is sourced)
 TRACER_TO_LOOKUP = {
@@ -263,6 +520,13 @@ TRACER_TO_LOOKUP = {
     "BEQ": "EQ", "BNE": "NE", "BLTU": "LTU", "BGEU": "GEU",
     "BLT": "SLT", "BGE": "GE", "SLTU": "LTU", "SLT": "SLT",
     "SLTI": "SLT", "SLTIU": "LTU",
+    "SLL": "SLL", "SLLI": "SLL", "SRL": "SRL", "SRLI": "SRL",
+    "SRA": "SRA", "SRAI": "SRA",
+    "MUL": "MUL", "MULHU": "MULHU",
+    "LUI": "MOVE", "AUIPC": "ADD", "JAL": "ADD", "JALR": "ADD",
+    # M-extension ops MULH/MULHSU/DIV/DIVU/REM/REMU and byte/halfword
+    # loads/stores expand into virtual sequences (models/jolt/sequences.py)
+    # before reaching the lookup layer.
 }
 
 

@@ -141,6 +141,152 @@ def _right_msb():
     return (y >> (BYTE - 1)).astype(np.uint32)
 
 
+@subtable("zero_x")
+def _zero_x():
+    """LeftIsZeroSubtable: x-half == 0."""
+    x, _ = _idx_xy()
+    return (x == 0).astype(np.uint32)
+
+
+@subtable("zero_y")
+def _zero_y():
+    """RightIsZeroSubtable: y-half == 0."""
+    _, y = _idx_xy()
+    return (y == 0).astype(np.uint32)
+
+
+@subtable("div0")
+def _div0():
+    """DivByZeroSubtable: x == 0 AND y == all-ones (divisor 0, quotient max)."""
+    x, y = _idx_xy()
+    return ((x == 0) & (y == (1 << BYTE) - 1)).astype(np.uint32)
+
+
+@subtable("lsb_zero")
+def _lsb_zero():
+    """Low bit of the (single-operand) chunk is zero — halfword alignment."""
+    idx = np.arange(M, dtype=np.uint32)
+    return (1 - (idx & 1)).astype(np.uint32)
+
+
+# --- shift family (SllSubtable / SrlSubtable / SraSignSubtable semantics) ----
+# Layout "shift": chunk_i = x_byte_i || (y % WORD). Subtable sll_j / srl_j is
+# for the x-byte at bit position BYTE*j from the LSB (j = C-1-i for chunk i).
+
+
+def _idx_x_shift():
+    idx = np.arange(M, dtype=np.uint64)
+    x = idx >> BYTE
+    s = (idx & ((1 << BYTE) - 1)) % WORD
+    return x, s
+
+
+def _make_sll(j):
+    def fn():
+        x, s = _idx_x_shift()
+        # (x << s) truncated to the bits that stay inside the word when the
+        # byte sits at position BYTE*j (jolt-core SllSubtable<j>)
+        return (x << s) % (1 << np.uint64(WORD - BYTE * j))
+    return fn
+
+
+def _make_srl(j):
+    def fn():
+        x, s = _idx_x_shift()
+        # (x * 2^(BYTE*j)) >> s — absolutely positioned (SrlSubtable<j>)
+        return (x << np.uint64(BYTE * j)) >> s
+    return fn
+
+
+for _j in range(C):
+    _SUBTABLE_FNS[f"sll_{_j}"] = _make_sll(_j)
+    _SUBTABLE_FNS[f"srl_{_j}"] = _make_srl(_j)
+
+
+@subtable("sra_sign")
+def _sra_sign():
+    """Sign-extension padding for SRA (SraSignSubtable): applied at chunk 0,
+    whose x-byte holds the operand's sign bit."""
+    x, s = _idx_x_shift()
+    sign = x >> (BYTE - 1)
+    ones = (np.uint64(1) << s) - 1
+    return sign * (ones << (np.uint64(WORD) - s))
+
+
+# --- single-operand family (layout "x": chunks_of_index of the operand) -----
+
+
+@subtable("pow2")
+def _pow2():
+    """POW2Instruction table (virtual_pow2.rs:36-38): 2^(idx % WORD)."""
+    idx = np.arange(M, dtype=np.uint64)
+    return np.uint64(1) << (idx % WORD)
+
+
+@subtable("rs_padding")
+def _rs_padding():
+    """RightShiftPadding (virtual_right_shift_padding.rs:38-42):
+    ((1<<s)-1) << (WORD-s), s = idx % WORD."""
+    idx = np.arange(M, dtype=np.uint64)
+    s = idx % WORD
+    return ((np.uint64(1) << s) - 1) << (np.uint64(WORD) - s)
+
+
+@subtable("sign_hi")
+def _sign_hi():
+    """MSB of a full LOG_M-bit chunk (for MOVSIGN's sign bit at chunk C/2)."""
+    idx = np.arange(M, dtype=np.uint32)
+    return (idx >> (LOG_M - 1)).astype(np.uint32)
+
+
+@subtable("sext8")
+def _sext8():
+    """Sign-extend the low byte of the chunk to WORD bits (LB sequences)."""
+    idx = np.arange(M, dtype=np.uint64)
+    b = idx & 0xFF
+    if WORD <= 8:
+        return b % (1 << WORD)
+    sign = (b >> 7) & 1
+    return b + sign * (((np.uint64(1) << np.uint64(WORD - 8)) - 1) << np.uint64(8))
+
+
+@subtable("sext16_lo")
+def _sext16_lo():
+    """Low part of 16-bit sign extension (LH sequences). The 16-bit halfword
+    may span two chunks: when LOG_M >= 16 this table alone holds the full
+    sign-extended value (read at chunk C-1) and ``sext16_hi`` is zero; when
+    LOG_M < 16 this is the identity on the low chunk and ``sext16_hi``
+    contributes the upper halfword bits plus the sign padding."""
+    idx = np.arange(M, dtype=np.uint64)
+    if LOG_M >= 16:
+        h = idx & 0xFFFF
+        if WORD <= 16:
+            return h % (1 << WORD)
+        sign = (h >> 15) & 1
+        return h + sign * (
+            ((np.uint64(1) << np.uint64(WORD - 16)) - 1) << np.uint64(16)
+        )
+    return idx
+
+
+@subtable("sext16_hi")
+def _sext16_hi():
+    """High part of 16-bit sign extension — read at chunk C-2 (the chunk
+    holding halfword bits LOG_M..15) when LOG_M < 16, else zero."""
+    idx = np.arange(M, dtype=np.uint64)
+    if LOG_M >= 16:
+        return np.zeros_like(idx)
+    top = 16 - LOG_M          # halfword bits carried by this chunk
+    h = idx & ((1 << top) - 1)
+    val = h << np.uint64(LOG_M)
+    if WORD <= 16:
+        return val % (1 << WORD)
+    sign = (h >> (top - 1)) & 1
+    return val + sign * (
+        ((np.uint64(1) << np.uint64(WORD - 16)) - 1) << np.uint64(16)
+    )
+
+
 _mat_cache = {}
 
 

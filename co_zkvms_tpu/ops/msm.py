@@ -75,6 +75,9 @@ def _all_window_sums(points: APoint, digits, c: int) -> JPoint:
     bucket_ids = jnp.arange(nb, dtype=digits.dtype)
     first = jax.vmap(lambda row: jnp.searchsorted(row, bucket_ids, side="left"))(ds)
     last = jax.vmap(lambda row: jnp.searchsorted(row, bucket_ids, side="right"))(ds)
+    # bucket 0 is dropped from the weighted sum — never accumulate it (zero
+    # scalars are common: zero-padded tables, sparse counters)
+    last = last.at[:, 0].set(first[:, 0])
 
     buckets0 = C.infinity((nw, nb))
     zero_aff = APoint(F.zeros((nw, nb)), F.zeros((nw, nb)))

@@ -6,6 +6,13 @@ checks for PST13), trusted-setup generation, and the bit-exactness oracle the
 TPU limb kernels are tested against. Everything here is Python ints — it is
 deliberately NOT on the prover's hot path.
 
+Attribution: the tower-field arithmetic (extended-Euclid inverse over
+polynomial bases, poly_rounded_div) and the optimal-ate pairing structure
+(linefunc, Miller loop, twist lift) are derived from the Ethereum
+Foundation's public ``py_ecc`` library (github.com/ethereum/py_ecc,
+MIT license), adapted to this module's coefficient-tuple representation.
+It is NOT derived from /root/reference (which uses arkworks).
+
 Implementation: standard affine Weierstrass arithmetic over a polynomial-basis
 tower (FQ2 = FQ[i]/(i^2+1), FQ12 = FQ[w]/(w^12 - 18 w^6 + 82)) and the
 optimal-ate Miller loop with points lifted to FQ12 via the sextic twist.
