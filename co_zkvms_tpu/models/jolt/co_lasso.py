@@ -59,38 +59,6 @@ def share_witness(wit: lasso.LassoWitness, key):
     )
 
 
-def _shared_comb_factory(instr_names, memories):
-    n_f = len(instr_names)
-    n_m = len(memories)
-
-    def comb(polys, consts):
-        del consts
-        eq = polys[0]                       # public [h, 16]
-        flag_list = polys[1 : 1 + n_f]      # shared [3, h, 16]
-        e_list = polys[1 + n_f : 1 + n_f + n_m]
-        out = polys[1 + n_f + n_m]
-        ev = {mem: e_list[i] for i, mem in enumerate(memories)}
-        ops = INS.SharedDeviceOps()
-        acc = None
-        for name, flag in zip(instr_names, flag_list):
-            g = INS.INSTRUCTIONS[name].combine(ops, ev)
-            term = ops.mul(flag, g) if g.ndim >= 3 else F.mul(FR, flag, g)
-            acc = term if acc is None else F.add(FR, acc, term)
-        return F.mul(FR, eq, F.sub(FR, acc, out))
-
-    return comb
-
-
-_shared_comb_cache = {}
-
-
-def _shared_comb(instr_names, memories):
-    key = (instr_names, memories)
-    if key not in _shared_comb_cache:
-        _shared_comb_cache[key] = _shared_comb_factory(instr_names, memories)
-    return _shared_comb_cache[key]
-
-
 def _fp_shared(gamma, tau_i, addr, value, count):
     """Fingerprint over share stacks: tau subtracts at party 0 only."""
     from ...parallel import mpc
@@ -153,12 +121,13 @@ def prove_rep3(wit_shared: lasso.LassoWitness, srs: pst13.SRS,
         + [wit.outputs]
     )
     degree = 2 + max(INS.INSTRUCTIONS[nm].degree for nm in wit.instr_names)
-    comb = _shared_comb(wit.instr_names, wit.memories)
+    comb, mono_consts = lasso.monomial_setup(
+        wit.instr_names, wit.memories, shared=True)
     masks = jnp.stack(
         [crng.zero_shares(FR, 5000 + j, (degree + 1,)) for j in range(log_n)]
     )
     res = SC.prove(FR, ht.device_state(), polys, degree=degree, comb=comb,
-                   consts=(), masks=masks, shared=True)
+                   consts=mono_consts, masks=masks, shared=True)
     ht.state = T.HostTranscript.from_device_state(res.state).state
     r_z = res.challenges
 

@@ -124,6 +124,86 @@ class SharedDeviceOps:
         return F.from_int(FR, c % MOD)
 
 
+class SymOps:
+    """Symbolic ops: values are sparse polynomials over the subtable reads,
+    represented as {sorted tuple of (sub, chunk) factors: int coeff}.
+
+    Running an instruction's ``combine`` with SymOps expands it into
+    monomials — the data the compile-bounded collation kernel consumes
+    (see ``monomial_table``). Replaces per-instruction-set XLA megakernels
+    (one unrolled combine per instruction) with one small scanned kernel.
+    """
+
+    one = {(): 1}
+
+    @staticmethod
+    def add(a, b):
+        out = dict(a)
+        for k, v in b.items():
+            out[k] = (out.get(k, 0) + v) % MOD
+        return {k: v for k, v in out.items() if v}
+
+    @staticmethod
+    def sub(a, b):
+        out = dict(a)
+        for k, v in b.items():
+            out[k] = (out.get(k, 0) - v) % MOD
+        return {k: v for k, v in out.items() if v}
+
+    @staticmethod
+    def mul(a, b):
+        out = {}
+        for ka, va in a.items():
+            for kb, vb in b.items():
+                k = tuple(sorted(ka + kb))
+                out[k] = (out.get(k, 0) + va * vb) % MOD
+        return {k: v for k, v in out.items() if v}
+
+    @staticmethod
+    def const(c):
+        return {(): c % MOD}
+
+
+def monomials(name: str):
+    """Expand an instruction's collation into [(coeff, mems tuple)]."""
+    spec = INSTRUCTIONS[name]
+    ev = {mc: {(mc,): 1} for mc in spec.subtable_chunks}
+    poly = spec.combine(SymOps(), ev)
+    return sorted((c, mems) for mems, c in poly.items())
+
+
+def monomial_table(instr_names, memories):
+    """Build length-bucketed monomial tensors for the collation kernel.
+
+    Slot layout of the kernel's value stack V: flags occupy slots
+    0..n_f-1, memories n_f..n_f+n_m-1, and the constant ONE is the last
+    slot. Each monomial row is [flag_slot, factor slots...] padded with
+    ONE; rows are grouped into buckets by padded factor count (1, 2, 4, 8)
+    so short monomials don't pay long-product cost.
+
+    Returns a tuple of (sel [T, 1+d] int32, coeff [T] ints) per bucket.
+    """
+    import numpy as np
+
+    mem_idx = {m: i for i, m in enumerate(memories)}
+    n_f = len(instr_names)
+    one_slot = n_f + len(memories)
+    buckets = {}
+    for fi, nm in enumerate(instr_names):
+        for coeff, mems in monomials(nm):
+            d = max(1, len(mems))
+            d = 1 << (d - 1).bit_length()          # bucket: 1, 2, 4, 8
+            row = [fi] + [n_f + mem_idx[m] for m in mems]
+            row += [one_slot] * (1 + d - len(row))
+            buckets.setdefault(d, ([], []))
+            buckets[d][0].append(row)
+            buckets[d][1].append(coeff)
+    return tuple(
+        (np.asarray(rows, np.int32), list(coeffs))
+        for d, (rows, coeffs) in sorted(buckets.items())
+    )
+
+
 @dataclass(frozen=True)
 class InstrSpec:
     name: str
@@ -144,12 +224,17 @@ class InstrSpec:
             # LOG_M-bit pieces (multiply_and_chunk_operands, mul.rs:61-69)
             return ST.chunks_of_index(x * y)
         if self.index_mode == "shift":
-            # chunk_i = x_byte_i || (y % WORD)  (chunk_and_concatenate_for_shift)
+            # chunk_i = x_byte_i || y_byte_{C-1}  (chunk_and_concatenate_for_shift):
+            # the y-half is the RAW low byte of y — the shift subtables reduce
+            # it mod WORD internally — so dim_i is a bilinear function of the
+            # committed chunk columns (dim_i = chx_i*2^BYTE + chy_{C-1}), which
+            # is what lets uniform Spartan tie shift dims to the operands.
+            ylow = y & ((1 << ST.BYTE) - 1)
             out = []
             for i in range(C):
                 shift = ST.BYTE * (C - 1 - i)
                 xb = (x >> shift) & ((1 << ST.BYTE) - 1)
-                out.append((xb << ST.BYTE) | (y % ST.WORD))
+                out.append((xb << ST.BYTE) | ylow)
             return out
         if self.index_mode == "x":
             return ST.chunks_of_index(x)
@@ -403,8 +488,10 @@ INSTRUCTIONS = {
                       _combine_single("pow2")),
     "SRA_PADDING": InstrSpec("SRA_PADDING", "x", (("rs_padding", C - 1),), 1,
                              _combine_single("rs_padding")),
-    "SEXT8": InstrSpec("SEXT8", "x", (("sext8", C - 1),), 1,
-                       _combine_single("sext8")),
+    "SEXT8": InstrSpec(
+        "SEXT8", "x", (("sext8_lo", C - 1), ("sext8_hi", C - 2)), 1,
+        lambda ops, ev: ops.add(ev[("sext8_lo", C - 1)],
+                                ev[("sext8_hi", C - 2)])),
     "SEXT16": InstrSpec(
         "SEXT16", "x", (("sext16_lo", C - 1), ("sext16_hi", C - 2)), 1,
         lambda ops, ev: ops.add(ev[("sext16_lo", C - 1)],

@@ -122,37 +122,68 @@ def build_witness(queries, instr_names=None, pad_to=None) -> LassoWitness:
     )
 
 
-def _primary_comb_factory(instr_names, memories):
-    """comb(polys, consts): polys = [eq] + flags + Es + [out]."""
-    n_f = len(instr_names)
-    n_m = len(memories)
+def _monomial_comb_factory(n_f, n_m, bucket_dims, shared):
+    """Data-driven collation comb: sum_I flag_I * g_I(E) as scanned monomials.
+
+    The instruction set enters as DATA (consts = per-bucket (sel, coeff)
+    tensors from INS.monomial_table), not as unrolled XLA graph — the kernel
+    is a lax.scan whose body does at most max(bucket_dims) field (or Rep3
+    share) products, so compile time is bounded regardless of how many
+    instructions are active (fixes the one-megakernel-per-instruction-set
+    compile pathology; maps combine_lookups[_rep3] evaluation,
+    instruction_lookups/worker.rs:362-451).
+    """
+    import jax
+
+    from ...parallel import mpc
 
     def comb(polys, consts):
-        del consts
         eq = polys[0]
-        flag_list = polys[1 : 1 + n_f]
-        e_list = polys[1 + n_f : 1 + n_f + n_m]
+        vals = list(polys[1 : 1 + n_f + n_m])   # flags then Es
         out = polys[1 + n_f + n_m]
-        ev = {mem: e_list[i] for i, mem in enumerate(memories)}
-        ops = INS.DeviceOps(eq)
-        acc = None
-        for name, flag in zip(instr_names, flag_list):
-            g = INS.INSTRUCTIONS[name].combine(ops, ev)
-            term = F.mul(FR, flag, g)
-            acc = term if acc is None else F.add(FR, acc, term)
+        onev = jnp.broadcast_to(F.ones_mont(FR), vals[0].shape[-2:])
+        if shared:
+            z = jnp.zeros_like(onev)
+            onev = jnp.stack([onev, z, z])      # trivial share of 1
+        V = jnp.stack(vals + [onev])            # [n_f+n_m+1, (3,) h, 16]
+        acc = jnp.zeros_like(vals[0])
+        for bi, d in enumerate(bucket_dims):
+            sel, coeff = consts[2 * bi], consts[2 * bi + 1]
+
+            def body(a, xs, d=d):
+                s, co = xs                      # [1+d] int32, [16]
+                p = V[s[0]]                     # the flag factor
+                for k in range(1, 1 + d):
+                    q = V[s[k]]
+                    p = mpc.mul(FR, p, q) if shared else F.mul(FR, p, q)
+                term = F.mul(FR, p, jnp.broadcast_to(co, p.shape))
+                return F.add(FR, a, term), None
+
+            acc, _ = jax.lax.scan(body, acc, (sel, coeff))
         return F.mul(FR, eq, F.sub(FR, acc, out))
 
     return comb
 
 
 _comb_cache = {}
+_mono_cache = {}
 
 
-def _primary_comb(instr_names, memories):
-    key = (instr_names, memories)
-    if key not in _comb_cache:
-        _comb_cache[key] = _primary_comb_factory(instr_names, memories)
-    return _comb_cache[key]
+def monomial_setup(instr_names, memories, shared=False):
+    """(comb, consts) pair driving the collation kernel for this set."""
+    key = (tuple(instr_names), tuple(memories), shared)
+    if key not in _mono_cache:
+        tables = INS.monomial_table(instr_names, memories)
+        bucket_dims = tuple(t[0].shape[1] - 1 for t in tables)
+        ckey = (len(instr_names), len(memories), bucket_dims, shared)
+        if ckey not in _comb_cache:
+            _comb_cache[ckey] = _monomial_comb_factory(*ckey)
+        consts = []
+        for sel, coeffs in tables:
+            consts.append(jnp.asarray(sel))
+            consts.append(F.from_int(FR, coeffs))
+        _mono_cache[key] = (_comb_cache[ckey], tuple(consts))
+    return _mono_cache[key]
 
 
 def _fingerprint(gamma, tau, addr, value, count):
@@ -211,9 +242,9 @@ def prove(wit: LassoWitness, srs: pst13.SRS) -> LassoProof:
         + [wit.outputs]
     )
     degree = 2 + max(INS.INSTRUCTIONS[nm].degree for nm in wit.instr_names)
-    comb = _primary_comb(wit.instr_names, wit.memories)
+    comb, mono_consts = monomial_setup(wit.instr_names, wit.memories)
     res = SC.prove(FR, ht.device_state(), polys, degree=degree, comb=comb,
-                   consts=())
+                   consts=mono_consts)
     ht.state = T.HostTranscript.from_device_state(res.state).state
     r_z = res.challenges
 

@@ -239,52 +239,49 @@ def _sign_hi():
     return (idx >> (LOG_M - 1)).astype(np.uint32)
 
 
-@subtable("sext8")
-def _sext8():
-    """Sign-extend the low byte of the chunk to WORD bits (LB sequences)."""
-    idx = np.arange(M, dtype=np.uint64)
-    b = idx & 0xFF
-    if WORD <= 8:
-        return b % (1 << WORD)
-    sign = (b >> 7) & 1
-    return b + sign * (((np.uint64(1) << np.uint64(WORD - 8)) - 1) << np.uint64(8))
+# --- sign-extension pairs (LB/LH load sequences) -----------------------------
+# SEXT_b(x) sign-extends the low b bits of the operand to WORD bits. The
+# b-bit value may span two chunks: the ``lo`` table is read at chunk C-1 and,
+# when LOG_M >= b, alone holds the full sign-extended value (``hi`` is zero);
+# when LOG_M < b, ``lo`` is the identity on the low chunk and ``hi`` (read at
+# chunk C-2) contributes bits LOG_M..b-1 plus the sign padding.
 
 
-@subtable("sext16_lo")
-def _sext16_lo():
-    """Low part of 16-bit sign extension (LH sequences). The 16-bit halfword
-    may span two chunks: when LOG_M >= 16 this table alone holds the full
-    sign-extended value (read at chunk C-1) and ``sext16_hi`` is zero; when
-    LOG_M < 16 this is the identity on the low chunk and ``sext16_hi``
-    contributes the upper halfword bits plus the sign padding."""
-    idx = np.arange(M, dtype=np.uint64)
-    if LOG_M >= 16:
-        h = idx & 0xFFFF
-        if WORD <= 16:
-            return h % (1 << WORD)
-        sign = (h >> 15) & 1
-        return h + sign * (
-            ((np.uint64(1) << np.uint64(WORD - 16)) - 1) << np.uint64(16)
+def _make_sext_lo(b):
+    def fn():
+        idx = np.arange(M, dtype=np.uint64)
+        if LOG_M >= b:
+            h = idx & np.uint64((1 << b) - 1)
+            if WORD <= b:
+                return h % (1 << WORD)
+            sign = (h >> np.uint64(b - 1)) & 1
+            return h + sign * (
+                ((np.uint64(1) << np.uint64(WORD - b)) - 1) << np.uint64(b)
+            )
+        return idx
+    return fn
+
+
+def _make_sext_hi(b):
+    def fn():
+        idx = np.arange(M, dtype=np.uint64)
+        if LOG_M >= b:
+            return np.zeros_like(idx)
+        top = b - LOG_M           # value bits carried by this chunk
+        h = idx & np.uint64((1 << top) - 1)
+        val = h << np.uint64(LOG_M)
+        if WORD <= b:
+            return val % (1 << WORD)
+        sign = (h >> np.uint64(top - 1)) & 1
+        return val + sign * (
+            ((np.uint64(1) << np.uint64(WORD - b)) - 1) << np.uint64(b)
         )
-    return idx
+    return fn
 
 
-@subtable("sext16_hi")
-def _sext16_hi():
-    """High part of 16-bit sign extension — read at chunk C-2 (the chunk
-    holding halfword bits LOG_M..15) when LOG_M < 16, else zero."""
-    idx = np.arange(M, dtype=np.uint64)
-    if LOG_M >= 16:
-        return np.zeros_like(idx)
-    top = 16 - LOG_M          # halfword bits carried by this chunk
-    h = idx & ((1 << top) - 1)
-    val = h << np.uint64(LOG_M)
-    if WORD <= 16:
-        return val % (1 << WORD)
-    sign = (h >> (top - 1)) & 1
-    return val + sign * (
-        ((np.uint64(1) << np.uint64(WORD - 16)) - 1) << np.uint64(16)
-    )
+for _b in (8, 16):
+    _SUBTABLE_FNS[f"sext{_b}_lo"] = _make_sext_lo(_b)
+    _SUBTABLE_FNS[f"sext{_b}_hi"] = _make_sext_hi(_b)
 
 
 _mat_cache = {}

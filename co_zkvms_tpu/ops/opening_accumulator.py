@@ -34,26 +34,17 @@ class ReducedOpeningProof(NamedTuple):
     batch_proof: pst13.OpeningProof
 
 
-def _comb_factory(k):
-    def comb(polys, consts):
-        (rhos,) = consts
-        acc = None
-        for i in range(k):
-            term = F.mul(FR, polys[2 * i], polys[2 * i + 1])
-            term = F.mul(FR, rhos[i], term)
-            acc = term if acc is None else F.add(FR, acc, term)
-        return acc
+def _comb_stacked(polys, consts=None):
+    """Stacked reduction comb: claims enter as ONE [k, h, 16] tensor pair.
 
-    return comb
-
-
-_comb_cache = {}
-
-
-def _comb(k):
-    if k not in _comb_cache:
-        _comb_cache[k] = _comb_factory(k)
-    return _comb_cache[k]
+    The claim count k is a leading array dim, not unrolled XLA graph — one
+    small kernel serves any number of accumulated claims (Jolt routes ~40
+    through here; an unrolled comb would recompile per k and blow up the
+    graph the way the reference's per-poly appends do not).
+    """
+    del consts
+    eqs, tabs = polys                     # [k, h, 16] each; eqs pre-scaled
+    return F.modsum(FR, F.mul(FR, eqs, tabs), 0)
 
 
 def reduce_and_prove(ht: T.HostTranscript, claims, srs: pst13.SRS):
@@ -68,19 +59,24 @@ def reduce_and_prove(ht: T.HostTranscript, claims, srs: pst13.SRS):
     rho = ht.challenge()
     rhos = F.from_int(FR, [pow(rho, i, MOD) for i in range(k)])
 
-    polys = []
-    for table, point, _ in claims:
-        polys.append(P.eq_table(FR, point))
-        polys.append(table)
+    # pre-scale each eq table by its rho power so the kernel is a plain
+    # sum_k eq_k * p_k  — rho batching costs nothing inside the rounds
+    eqs = jnp.stack([
+        F.mul(FR, jnp.broadcast_to(rhos[i], (claims[i][0].shape[-2], F.NLIMBS)),
+              P.eq_table(FR, claims[i][1]))
+        for i in range(k)
+    ])
+    tabs = jnp.stack([t for t, _, _ in claims])
 
-    res = SC.prove(FR, ht.device_state(), polys, degree=2, comb=_comb(k),
-                   consts=(rhos,))
+    res = SC.prove(FR, ht.device_state(), [eqs, tabs], degree=2,
+                   comb=_comb_stacked)
     ht.state = T.HostTranscript.from_device_state(res.state).state
     z = res.challenges
 
+    final_tabs = F.to_int(FR, res.final_polys[1][..., 0, :])  # [k]
     z_evals = []
-    for i, (table, _, _) in enumerate(claims):
-        z_evals.append(int(F.to_int(FR, res.final_polys[2 * i + 1][..., 0, :])))
+    for i in range(k):
+        z_evals.append(int(final_tabs[i]))
         ht.absorb(z_evals[i])
     eta = ht.challenge()
     _, batch_proof = pst13.batch_open(

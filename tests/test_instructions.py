@@ -81,3 +81,35 @@ def test_degrees_match_structure():
     for name, spec in INS.INSTRUCTIONS.items():
         assert spec.degree >= 1
         assert spec.degree <= 2 * ST.C + 2
+
+
+def test_monomial_expansion_matches_combine(rng):
+    """Symbolic monomial expansion == direct host combine on random reads,
+    and the largest monomial respects the declared degree bound."""
+    for name, spec in INS.INSTRUCTIONS.items():
+        monos = INS.monomials(name)
+        assert max((len(m) for _, m in monos), default=0) <= spec.degree, name
+        ev = {mc: rng.randrange(INS.MOD) for mc in spec.subtable_chunks}
+        direct = spec.combine(INS.HostOps(), ev) % INS.MOD
+        expanded = 0
+        for coeff, mems in monos:
+            t = coeff
+            for m in mems:
+                t = t * ev[m] % INS.MOD
+            expanded = (expanded + t) % INS.MOD
+        assert expanded == direct, name
+
+
+def test_monomial_table_layout():
+    names = ("ADD", "SLT", "SLL")
+    mems = tuple(INS.memories_for(names))
+    tables = INS.monomial_table(names, mems)
+    one_slot = len(names) + len(mems)
+    total = 0
+    for sel, coeffs in tables:
+        assert sel.shape[0] == len(coeffs)
+        assert (sel[:, 0] < len(names)).all()      # flag slots
+        assert (sel[:, 1:] >= len(names)).all()    # factor slots (mem or ONE)
+        assert (sel <= one_slot).all()
+        total += len(coeffs)
+    assert total == sum(len(INS.monomials(n)) for n in names)

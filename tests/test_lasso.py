@@ -41,6 +41,8 @@ def test_collation_matches_semantics(rng):
     w = ST.WORD
     ops = INS.HostOps()
     for name, spec in INS.INSTRUCTIONS.items():
+        if spec.index_mode == "shift" and (1 << ST.BYTE) < ST.WORD:
+            continue   # shift layout needs y%WORD to fit the y-half
         for _ in range(30):
             x = rng.randrange(1 << w)
             y = rng.randrange(1 << w)
@@ -50,7 +52,7 @@ def test_collation_matches_semantics(rng):
                 table = ST.materialize_ints(sub)
                 ev[(sub, chunk)] = table[idxs[chunk]]
             got = spec.combine(ops, ev)
-            want = _expected(name, x, y, w)
+            want = INS.lookup_entry(name, x, y)
             assert got == want, (name, x, y, got, want)
 
 
