@@ -1,102 +1,795 @@
-"""Jolt zkVM top-level prover: trace -> {instruction lookups, memory checks}.
+"""Linked Jolt zkVM prover: ONE proof whose subsystems share commitments.
 
-Composes the subsystem provers over one RV32I execution trace, mirroring the
-reference's ``Jolt::prove`` orchestration (jolt/vm/jolt/mod.rs:293-484:
-bytecode -> instruction lookups -> read/write memory -> [uniform Spartan] ->
-[opening reduction]):
+Maps co-jolt's ``Jolt::prove`` orchestration + batched opening reduction
+(jolt/vm/jolt/mod.rs:293-484, poly/opening_proof.rs:182-291 — SURVEY.md
+§2.8/§3.3): a single transcript drives
 
-- instruction lookups (models/jolt/lasso.py) over the trace's lookup queries;
-- offline memory checking (models/jolt/rw_memory.py) for the register file,
-  RAM, and bytecode fetch.
+  commit all columns -> Lasso primary sumcheck -> offline memory checking
+  (instruction memories + chunk-range memories + registers + RAM + bytecode,
+  one batched GKR per domain size) -> uniform Spartan over the step
+  constraints (models/jolt/uniform_spartan.py) -> ALL trace-domain opening
+  claims reduced to ONE PST13 opening via the batched accumulator
+  (ops/opening_accumulator.py), plus one small batched opening per
+  init/final domain size.
 
-Round-1 scope note: the uniform-Spartan R1CS that ties the subsystems'
-operands together (pc progression, rs1_val/rs2_val consistency between the
-register file and the lookup operands) and the cross-poly opening reduction
-are staged next (PROGRESS.md); each subsystem proof is individually sound
-against its own commitments.
+What makes it a zkVM (vs round 1's unlinked subsystems): every R1CS input is
+an evaluation of the SAME committed column the memory checkers fingerprint —
+rs1_val is simultaneously the register-file read value (multiset-checked
+against the replayed register state) and the Lasso left operand (chunk
+constraints tie it to the lookup dims); lookup_out is simultaneously the
+collation output and the rd write-back; bc_* columns are simultaneously the
+bytecode-fetch tuple (checked against the public program image) and the
+R1CS's decoded fields; pc progression crosses steps via the shift sumcheck.
+Tampering any one of these breaks verification (tests/test_jolt_e2e.py).
+
+Memory model / conventions:
+- bytecode row 0 is a reserved zero row (padding steps fetch it); real
+  instructions live at rows 1..len(program), so
+  real_pc = code_base + 4*(bc_addr - 1).
+- registers: one logical memory, 3 read-modify-write slots per step
+  (rs1, rs2, rd) with per-slot counter columns; x0 stays 0 because the rd
+  write-back chain forces rd_val = rd_pre when cf_rdnz = 0.
+- RAM: word-addressed slots (addr = 4*slot + ram_base); non-store steps
+  write back the read value (rmw no-op), enforced by uniform Spartan.
+- chunk-range memories: addresses 2^BYTE * chx_i (value = address, zero
+  counters init) range-check the operand chunk columns against [0, M) —
+  with ranged chunks the per-chunk dim constraints pin the operand
+  decomposition uniquely (see uniform_spartan.py docstring).
+- the verifier derives the instruction set, circuit flags and bytecode
+  image tuples from the PUBLIC program words; proofs are bound to program
+  semantics, not prover-claimed metadata.
+
+Word-size note: lookup semantics are ST.WORD-bit (geometry-configurable for
+tests); guests must keep values in range for the emulator's 32-bit semantics
+to coincide (tests use small operands; production geometry is WORD=32).
 """
 
 from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax.numpy as jnp
+
+from ...ops import field as F
+from ...ops import grand_product as GP
+from ...ops import opening_accumulator as OA
+from ...ops import poly as P
 from ...ops import pst13
+from ...ops import sumcheck as SC
+from ...ops import transcript as T
+from ...ops.field import FR
 from . import instructions as INS
 from . import lasso
 from . import rv32i as rv
-from . import rw_memory as RW
+from . import subtables as ST
+from . import uniform_spartan as US
 
-RAM_BASE = 0x1000_0000
-CODE_BASE = 0x8000_0000
+MOD = FR.modulus
+LABEL = b"co_zkvms_tpu/jolt_linked/v2"
+MASK32 = 0xFFFFFFFF
 
 
 class JoltProof(NamedTuple):
-    lasso_proof: lasso.LassoProof
-    memory_proof: RW.MemoryProof
-    instr_names: tuple
-    log_n: int
-    mem_instances: tuple        # ((name, mem_bits, init_vals_tuple), ...)
+    comms: dict                 # column name -> commitment (x, y)
+    primary_msgs: list
+    rw_products: GP.GrandProductProof
+    if_products: dict           # size -> GP.GrandProductProof
+    spartan: US.StepSpartanProof
+    evals: dict                 # (tag, name) / (tag, size, name) -> int
+    t_opening: OA.ReducedOpeningProof
+    m_openings: dict            # size -> pst13.OpeningProof
+    n_steps: int
+    mem_bits: int
+    code_base: int
+    ram_base: int
 
 
-def lookup_queries_from_trace(trace):
-    """Extract (instr, x, y, out) lookup queries for supported ops."""
-    queries = []
-    for st in trace:
-        name = INS.TRACER_TO_LOOKUP.get(st.instr.op)
-        if name is None:
+# --- public structure derived from the program ------------------------------
+
+
+def instr_set_for(program_words):
+    """Lookup instruction set implied by the public program image."""
+    names = set()
+    for i, w in enumerate(program_words):
+        op = rv.decode(w, 4 * i).op
+        if op in ("ECALL", "EBREAK", "LUI", "LW", "SW"):
+            continue        # no-lookup ops handled purely by uniform Spartan
+        lk = INS.TRACER_TO_LOOKUP.get(op)
+        if lk is None:
+            raise NotImplementedError(
+                f"op {op} needs a virtual sequence (not yet linked)")
+        names.add(lk)
+    return tuple(sorted(names))
+
+
+def bytecode_image(program_words, instr_names):
+    """Public bytecode tuples (bitflags, rs1, rs2, rd, imm_u32); row 0 is the
+    reserved zero row. Returns [R_pad][5] ints."""
+    rows = [(0, 0, 0, 0, 0)]
+    for i, w in enumerate(program_words):
+        ins = rv.decode(w, 4 * i)
+        if ins.op in ("ECALL", "EBREAK"):
+            rows.append((0, 0, 0, 0, 0))
             continue
-        queries.append((name, st.rs1_val, st.rs2_val, st.lookup_output))
-    return queries
+        flags = US.op_flags(ins.op, imm=ins.imm, rd=ins.rd)
+        bf = sum(flags[cf] << k for k, cf in enumerate(US.CIRCUIT_FLAGS))
+        lk = None if ins.op == "LUI" else INS.TRACER_TO_LOOKUP.get(ins.op)
+        if lk is not None:
+            bf |= 1 << (US.N_CF + instr_names.index(lk))
+        rows.append((bf, ins.rs1, ins.rs2, ins.rd, ins.imm & MASK32))
+    r_pad = 1 << max(2, (len(rows) - 1).bit_length())
+    rows += [(0, 0, 0, 0, 0)] * (r_pad - len(rows))
+    return rows
+
+
+BC_VALUE_COLS = ("bc_bitflags", "bc_rs1", "bc_rs2", "bc_rd", "bc_imm")
+
+
+def _logical_memories(instr_names, mem_bits, r_pad):
+    """Canonical logical-memory list: (kind, key, size)."""
+    mems = INS.memories_for(instr_names)
+    out = [("lasso", m, ST.M) for m in mems]
+    out += [("rngx", i, ST.M) for i in range(ST.C)]
+    out += [("rngy", i, ST.M) for i in range(ST.C)]
+    out += [("regs", None, 32), ("ram", None, 1 << mem_bits),
+            ("bytecode", None, r_pad)]
+    return out
+
+
+def _rw_cols(kind, key):
+    """(addr_col, [(v_read, v_write, ct)]) column names for the rw leaves of
+    one logical memory. regs contribute three slots."""
+    if kind == "lasso":
+        sub, ch = key
+        return (f"dim_{ch}",
+                [(f"E_{sub}_{ch}", f"E_{sub}_{ch}", f"lct_{sub}_{ch}")])
+    if kind == "rngx":
+        return (f"chx_{key}", [(None, None, f"rngx_ct_{key}")])
+    if kind == "rngy":
+        return (f"chy_{key}", [(None, None, f"rngy_ct_{key}")])
+    if kind == "regs":
+        return (None, [("rs1_val", "rs1_val", "rs1_ct"),
+                       ("rs2_val", "rs2_val", "rs2_ct"),
+                       ("rd_pre", "rd_val", "rd_ct")])
+    if kind == "ram":
+        return ("ram_addr", [("ram_read", "ram_write", "ram_ct")])
+    if kind == "bytecode":
+        return ("bc_addr", [(None, None, "bc_ct")])
+    raise KeyError(kind)
+
+
+def t_column_order(cs: US.ConstraintSystem, instr_names):
+    """Canonical commit order for all trace-domain columns."""
+    mems = INS.memories_for(instr_names)
+    extras = [f"E_{s}_{c}" for s, c in mems]
+    extras += [f"lct_{s}_{c}" for s, c in mems]
+    extras += [f"rngx_ct_{i}" for i in range(ST.C)]
+    extras += [f"rngy_ct_{i}" for i in range(ST.C)]
+    extras += ["rs1_ct", "rs2_ct", "rd_ct", "ram_ct", "bc_ct"]
+    return list(cs.committed) + extras
+
+
+def m_column_order(instr_names, mem_bits, r_pad):
+    """Canonical commit order for init/final-domain columns: size -> names."""
+    mems = INS.memories_for(instr_names)
+    by_size = {}
+    by_size.setdefault(ST.M, [])
+    by_size[ST.M] += [f"fct_{s}_{c}" for s, c in mems]
+    by_size[ST.M] += [f"rngx_fct_{i}" for i in range(ST.C)]
+    by_size[ST.M] += [f"rngy_fct_{i}" for i in range(ST.C)]
+    by_size.setdefault(32, []).extend(["reg_final", "reg_final_ct"])
+    by_size.setdefault(1 << mem_bits, []).extend(
+        ["ram_final", "ram_final_ct"])
+    by_size.setdefault(r_pad, []).append("bc_fct")
+    return {s: names for s, names in sorted(by_size.items())}
+
+
+# --- witness columns --------------------------------------------------------
+
+
+def build_columns(trace, program_words, instr_names, mem_bits,
+                  code_base, ram_base):
+    """Replay the trace into per-step columns + init/final images.
+
+    The builder re-derives every value with ST.WORD-bit lookup semantics
+    (it is the authoritative witness source; the emulator supplies the
+    instruction sequence and control flow)."""
+    n_real = len(trace)
+    n = max(4, 1 << (n_real - 1).bit_length())
+    mems = INS.memories_for(instr_names)
+    c, byte = ST.C, ST.BYTE
+
+    cols = {k: [0] * n for k in
+            ["bc_addr", "bc_bitflags", "bc_rs1", "bc_rs2", "bc_rd", "bc_imm",
+             "rs1_val", "rs2_val", "rd_pre", "rd_val",
+             "ram_addr", "ram_read", "ram_write", "lookup_out",
+             "rs1_ct", "rs2_ct", "rd_ct", "ram_ct", "bc_ct"]}
+    for i in range(c):
+        cols[f"dim_{i}"] = [0] * n
+        cols[f"chx_{i}"] = [0] * n
+        cols[f"chy_{i}"] = [0] * n
+    for nm in instr_names:
+        cols[f"flag_{nm}"] = [0] * n
+    for cf in US.CIRCUIT_FLAGS:
+        cols[cf] = [0] * n
+    for s, ch in mems:
+        cols[f"E_{s}_{ch}"] = [0] * n
+        cols[f"lct_{s}_{ch}"] = [0] * n
+    for i in range(c):
+        cols[f"rngx_ct_{i}"] = [0] * n
+        cols[f"rngy_ct_{i}"] = [0] * n
+
+    image = bytecode_image(program_words, instr_names)
+    regs = [0] * 32
+    reg_ct = {}
+    ram = {}
+    ram_ct = {}
+    bc_ct = {}
+    lasso_ct = {m: {} for m in mems}
+    rng_ct = {("x", i): {} for i in range(c)}
+    rng_ct.update({("y", i): {} for i in range(c)})
+    tables = {s: ST.materialize_ints(s) for s, _ in mems}
+
+    def reg_read(a, ctr_key, t):
+        cols[ctr_key + "_ct"][t] = reg_ct.get(a, 0)
+        reg_ct[a] = reg_ct.get(a, 0) + 1
+        return regs[a]
+
+    for t in range(n):
+        st = trace[t] if t < n_real else None
+        if st is None:
+            a1 = a2 = ad = 0
+            op, imm, imm_u = None, 0, 0
+            bc_a = 0
+        else:
+            ins = st.instr
+            op, imm = ins.op, ins.imm
+            imm_u = imm & MASK32
+            a1, a2, ad = ins.rs1, ins.rs2, ins.rd
+            bc_a = 1 + (ins.address - code_base) // 4
+            flags = US.op_flags(op, imm=imm, rd=ad)
+            for cf in US.CIRCUIT_FLAGS:
+                cols[cf][t] = flags[cf]
+        cols["bc_addr"][t] = bc_a
+        bf, r1, r2, rd, immv = image[bc_a]
+        cols["bc_bitflags"][t] = bf
+        cols["bc_rs1"][t], cols["bc_rs2"][t] = r1, r2
+        cols["bc_rd"][t], cols["bc_imm"][t] = rd, immv
+        assert (r1, r2, rd) == (a1, a2, ad) and immv == (imm & MASK32)
+        cols["bc_ct"][t] = bc_ct.get(bc_a, 0)
+        bc_ct[bc_a] = bc_ct.get(bc_a, 0) + 1
+
+        rs1_v = reg_read(a1, "rs1", t)
+        rs2_v = reg_read(a2, "rs2", t)
+        rd_p = reg_read(ad, "rd", t)
+        cols["rs1_val"][t] = rs1_v
+        cols["rs2_val"][t] = rs2_v
+        cols["rd_pre"][t] = rd_p
+
+        real_pc = code_base + 4 * (bc_a - 1)
+        lk = None
+        if st is not None and op not in ("LUI",):
+            lk = INS.TRACER_TO_LOOKUP.get(op)
+        x_q = real_pc if (st and cols["cf_left_pc"][t]) else rs1_v
+        y_q = imm_u if (st and cols["cf_right_imm"][t]) else rs2_v
+        out = 0
+        if lk is not None:
+            spec = INS.INSTRUCTIONS[lk]
+            cols[f"flag_{lk}"][t] = 1
+            out = INS.lookup_entry(lk, x_q, y_q)
+            dims = spec.to_indices(x_q, y_q)
+        else:
+            dims = [0] * c
+        cols["lookup_out"][t] = out
+        for i in range(c):
+            cols[f"dim_{i}"][t] = dims[i]
+            sh = byte * (c - 1 - i)
+            cols[f"chx_{i}"][t] = (x_q >> sh) & ((1 << byte) - 1)
+            cols[f"chy_{i}"][t] = (y_q >> sh) & ((1 << byte) - 1)
+
+        # lasso + range memory replay
+        for m in mems:
+            sub, ch = m
+            a = dims[ch]
+            cols[f"E_{sub}_{ch}"][t] = int(tables[sub][a])
+            cols[f"lct_{sub}_{ch}"][t] = lasso_ct[m].get(a, 0)
+            lasso_ct[m][a] = lasso_ct[m].get(a, 0) + 1
+        for i in range(c):
+            for xy, colk in (("x", f"chx_{i}"), ("y", f"chy_{i}")):
+                a = cols[colk][t] << byte
+                k = (xy, i)
+                cols[f"rng{xy}_ct_{i}"][t] = rng_ct[k].get(a, 0)
+                rng_ct[k][a] = rng_ct[k].get(a, 0) + 1
+
+        # RAM replay (word slots)
+        if st is not None and op in ("LW", "SW"):
+            slot = (st.mem_addr - ram_base) // 4
+            assert 0 <= slot < (1 << mem_bits), (op, hex(st.mem_addr))
+        else:
+            slot = 0
+        cur = ram.get(slot, 0)
+        cols["ram_addr"][t] = slot
+        cols["ram_read"][t] = cur
+        wv = rs2_v if (st is not None and op == "SW") else cur
+        cols["ram_write"][t] = wv
+        ram[slot] = wv
+        cols["ram_ct"][t] = ram_ct.get(slot, 0)
+        ram_ct[slot] = ram_ct.get(slot, 0) + 1
+
+        # rd write-back (the chain uniform Spartan enforces)
+        if ad == 0:
+            rd_v = rd_p
+        elif st is not None and op == "LW":
+            rd_v = cur
+        elif st is not None and op == "LUI":
+            rd_v = imm_u
+        elif st is not None and op in ("JAL", "JALR"):
+            rd_v = (real_pc + 4) % MOD
+        elif lk is not None and US.writes_lookup_to_rd(op):
+            rd_v = out
+        else:
+            rd_v = rd_p
+        cols["rd_val"][t] = rd_v
+        regs[ad] = rd_v
+
+    # shifted column for the cross-step constraints
+    cols["bc_addr_next"] = cols["bc_addr"][1:] + [0]
+
+    r_pad = len(image)
+    m_cols = {}
+    for m in mems:
+        sub, ch = m
+        m_cols[f"fct_{sub}_{ch}"] = [lasso_ct[m].get(a, 0)
+                                     for a in range(ST.M)]
+    for i in range(c):
+        m_cols[f"rngx_fct_{i}"] = [rng_ct[("x", i)].get(a, 0)
+                                   for a in range(ST.M)]
+        m_cols[f"rngy_fct_{i}"] = [rng_ct[("y", i)].get(a, 0)
+                                   for a in range(ST.M)]
+    m_cols["reg_final"] = list(regs)
+    m_cols["reg_final_ct"] = [reg_ct.get(a, 0) for a in range(32)]
+    m_cols["ram_final"] = [ram.get(s, 0) for s in range(1 << mem_bits)]
+    m_cols["ram_final_ct"] = [ram_ct.get(s, 0) for s in range(1 << mem_bits)]
+    m_cols["bc_fct"] = [bc_ct.get(a, 0) for a in range(r_pad)]
+    return cols, m_cols, n, r_pad
+
+
+# --- fingerprints -----------------------------------------------------------
+
+
+def _fp(gamma, tau, addr, values, ct):
+    """gamma^(k+1) ct + sum_i gamma^(i+1) v_i + addr - tau on device tables
+    (k = len(values)); the 1-value case matches lasso/rw_memory fp."""
+    acc = addr
+    g = gamma
+    for v in values:
+        acc = F.add(FR, acc, F.mul(FR, jnp.broadcast_to(g, v.shape), v))
+        g = F.mul(FR, g, gamma)
+    acc = F.add(FR, acc, F.mul(FR, jnp.broadcast_to(g, ct.shape), ct))
+    return F.sub(FR, acc, jnp.broadcast_to(tau, acc.shape))
+
+
+def _fp_ints(gamma, tau, addr, values, ct):
+    acc = addr
+    g = gamma
+    for v in values:
+        acc = (acc + g * v) % MOD
+        g = g * gamma % MOD
+    return (acc + g * ct - tau) % MOD
+
+
+# --- prover -----------------------------------------------------------------
 
 
 def prove(program_words, srs: pst13.SRS, mem_bits: int = 8,
-          max_steps: int = 1 << 12, memory=None) -> JoltProof:
-    """Trace the guest and prove all subsystems."""
-    emu = rv.Emulator(program_words, base=CODE_BASE, memory=memory,
+          max_steps: int = 1 << 12, memory=None,
+          code_base: int = 0x400, ram_base: int = 0x100) -> JoltProof:
+    emu = rv.Emulator(program_words, base=code_base, memory=memory,
                       max_steps=max_steps)
     trace = emu.run()
+    instr_names = instr_set_for(program_words)
+    cs = US.build(instr_names, code_base, ram_base)
+    cols, m_cols, n, r_pad = build_columns(
+        trace, program_words, instr_names, mem_bits, code_base, ram_base)
+    US.compute_aux(cs, cols, n)
+    US.check_witness(cs, cols, n)
+    log_n = n.bit_length() - 1
+    mems = INS.memories_for(instr_names)
+    image = bytecode_image(program_words, instr_names)
 
-    queries = lookup_queries_from_trace(trace)
-    instr_names = tuple(sorted({q[0] for q in queries}))
-    wit = lasso.build_witness(queries, instr_names=instr_names)
-    lasso_proof = lasso.prove(wit, srs)
+    # device tables
+    dev = {k: F.from_int(FR, [v % MOD for v in cols[k]])
+           for k in t_column_order(cs, instr_names)}
+    m_order = m_column_order(instr_names, mem_bits, r_pad)
+    mdev = {nm: F.from_int(FR, [v % MOD for v in m_cols[nm]])
+            for names in m_order.values() for nm in names}
 
-    reg_ops = RW.register_ops_from_trace(trace)
-    ram_ops = RW.ram_ops_from_trace(trace, RAM_BASE, mem_bits)
-    byte_ops = RW.bytecode_ops_from_trace(trace, program_words, CODE_BASE)
-    m = 1 << mem_bits
-    traces = [
-        RW.MemoryTrace("regs", mem_bits, reg_ops, [0] * m),
-        RW.MemoryTrace("ram", mem_bits, ram_ops, [0] * m),
-        RW.MemoryTrace("bytecode", mem_bits, byte_ops,
-                       list(program_words) + [0] * (m - len(program_words))),
-    ]
-    n_max = max(len(t.ops) for t in traces)
-    wits = []
-    for t in traces:
-        cur = t.init_vals[0] if t.init_vals else 0
-        for a, _, vw in t.ops:
-            if a == 0:
-                cur = vw
-        ops = list(t.ops) + [(0, cur, cur)] * (n_max - len(t.ops))
-        wits.append(RW.build_witness(
-            RW.MemoryTrace(t.name, t.mem_bits, ops, t.init_vals)
-        ))
-    memory_proof = RW.prove(wits, srs)
+    ht = T.HostTranscript(LABEL)
+    ht.absorb(n)
+    comms = {}
+    for k in t_column_order(cs, instr_names):
+        cm = pst13.commit(srs, dev[k])
+        comms[k] = cm
+        ht.absorb_point(cm.xy)
+    for s, names in m_order.items():
+        for nm in names:
+            cm = pst13.commit(srs, mdev[nm])
+            comms[("m", s, nm)] = cm
+            ht.absorb_point(cm.xy)
+
+    evals = {}
+    t_claims = []       # (table, point_dev, value) in canonical order
+
+    def claim(tag, name, table, point_dev):
+        v = int(F.to_int(FR, P.evaluate(FR, table, point_dev)))
+        evals[(tag, name)] = v
+        t_claims.append((table, point_dev, v))
+        return v
+
+    # 1. Lasso primary sumcheck (collation zerocheck over the trace domain)
+    r = ht.challenges(log_n)
+    eq_r = P.eq_table(FR, F.from_int(FR, r))
+    polys = ([eq_r] + [dev[f"flag_{nm}"] for nm in instr_names]
+             + [dev[f"E_{s}_{c}"] for s, c in mems] + [dev["lookup_out"]])
+    degree = 2 + max(INS.INSTRUCTIONS[nm].degree for nm in instr_names)
+    comb, mono_consts = lasso.monomial_setup(instr_names, mems)
+    res = SC.prove(FR, ht.device_state(), polys, degree=degree, comb=comb,
+                   consts=mono_consts)
+    ht.state = T.HostTranscript.from_device_state(res.state).state
+    r_z = res.challenges
+    for nm in instr_names:
+        claim("rz", f"flag_{nm}", dev[f"flag_{nm}"], r_z)
+    for s, c in mems:
+        claim("rz", f"E_{s}_{c}", dev[f"E_{s}_{c}"], r_z)
+    claim("rz", "lookup_out", dev["lookup_out"], r_z)
+
+    # 2. memory checking: one rw GKR batch (T domain) + per-size init/final
+    gamma_i, tau_i = ht.challenges(2)
+    gamma, tau = F.from_int(FR, gamma_i), F.from_int(FR, tau_i)
+    one = F.ones_mont(FR)
+    logical = _logical_memories(instr_names, mem_bits, r_pad)
+
+    rw_leaves = []
+    for kind, key, size in logical:
+        addr_col, slots = _rw_cols(kind, key)
+        if kind in ("rngx", "rngy"):
+            a = F.mul(FR, jnp.broadcast_to(
+                F.from_int(FR, 1 << ST.BYTE), dev[addr_col].shape),
+                dev[addr_col])
+            vals = [a]
+        elif kind == "bytecode":
+            a = dev[addr_col]
+            vals = [dev[k] for k in BC_VALUE_COLS]
+        else:
+            a = dev[addr_col] if addr_col else None
+            vals = None
+        for vr, vw, ctk in slots:
+            ct = dev[ctk]
+            ctw = F.add(FR, ct, jnp.broadcast_to(one, ct.shape))
+            if kind == "regs":
+                a = dev[{"rs1_val": "bc_rs1", "rs2_val": "bc_rs2",
+                         "rd_pre": "bc_rd"}[vr]]
+            rvals = vals if vals is not None else [dev[vr]]
+            wvals = vals if vals is not None else [dev[vw]]
+            rw_leaves.append(_fp(gamma, tau, a, rvals, ct))
+            rw_leaves.append(_fp(gamma, tau, a, wvals, ctw))
+
+    state = ht.device_state()
+    state, rw_proof, rho_rw, _ = GP.prove_batched(state, jnp.stack(rw_leaves))
+    ht.state = T.HostTranscript.from_device_state(state).state
+
+    # rw-side opening claims at rho_rw
+    for name in _rw_claim_names(instr_names):
+        claim("rw", name, dev[name], rho_rw)
+
+    # init/final batches grouped by size
+    if_proofs = {}
+    rho_if = {}
+    sizes = sorted({size for _, _, size in logical})
+    for s in sizes:
+        leaves = []
+        addr_s = F.from_int(FR, list(range(s)))
+        zero_s = jnp.zeros_like(mdev[m_order[s][0]])
+        for kind, key, size in logical:
+            if size != s:
+                continue
+            if kind == "lasso":
+                sub, ch = key
+                tval = ST.materialize(sub)
+                leaves.append(_fp(gamma, tau, addr_s, [tval], zero_s))
+                leaves.append(_fp(gamma, tau, addr_s, [tval],
+                                  mdev[f"fct_{sub}_{ch}"]))
+            elif kind in ("rngx", "rngy"):
+                leaves.append(_fp(gamma, tau, addr_s, [addr_s], zero_s))
+                leaves.append(_fp(gamma, tau, addr_s, [addr_s],
+                                  mdev[f"rng{kind[3]}_fct_{key}"]))
+            elif kind == "regs":
+                leaves.append(_fp(gamma, tau, addr_s, [zero_s], zero_s))
+                leaves.append(_fp(gamma, tau, addr_s, [mdev["reg_final"]],
+                                  mdev["reg_final_ct"]))
+            elif kind == "ram":
+                leaves.append(_fp(gamma, tau, addr_s, [zero_s], zero_s))
+                leaves.append(_fp(gamma, tau, addr_s, [mdev["ram_final"]],
+                                  mdev["ram_final_ct"]))
+            elif kind == "bytecode":
+                tup = [F.from_int(FR, [row[i] for row in image])
+                       for i in range(5)]
+                leaves.append(_fp(gamma, tau, addr_s, tup, zero_s))
+                leaves.append(_fp(gamma, tau, addr_s, tup, mdev["bc_fct"]))
+        state = ht.device_state()
+        state, pr, rho_s, _ = GP.prove_batched(state, jnp.stack(leaves))
+        ht.state = T.HostTranscript.from_device_state(state).state
+        if_proofs[s] = pr
+        rho_if[s] = rho_s
+        for nm in m_order[s]:
+            v = int(F.to_int(FR, P.evaluate(FR, mdev[nm], rho_s)))
+            evals[("if", s, nm)] = v
+
+    # 3. uniform Spartan over the step constraints
+    sp_proof, r_t, shift_z = US.prove(ht, cs, cols, n)
+    r_t_dev = F.from_int(FR, r_t)
+    for name in cs.committed:
+        claim("rt", name, dev[name], r_t_dev)
+    claim("shift", "bc_addr", dev["bc_addr"], F.from_int(FR, shift_z))
+    assert evals[("shift", "bc_addr")] == sp_proof.shift_final
+
+    # 4. reduce ALL trace-domain claims to one PST13 opening
+    t_open = OA.reduce_and_prove(ht, t_claims, srs)
+
+    # 5. per-size batched openings of the init/final columns
+    m_open = {}
+    for s in sizes:
+        for nm in m_order[s]:
+            ht.absorb(evals[("if", s, nm)])
+        eta = ht.challenge()
+        _, pr = pst13.batch_open(srs, [mdev[nm] for nm in m_order[s]],
+                                 F.from_int(FR, eta), rho_if[s])
+        m_open[s] = pr
 
     return JoltProof(
-        lasso_proof=lasso_proof,
-        memory_proof=memory_proof,
-        instr_names=instr_names,
-        log_n=wit.n.bit_length() - 1,
-        mem_instances=tuple(
-            (t.name, t.mem_bits, tuple(t.init_vals)) for t in traces
-        ),
+        comms={k: v.xy for k, v in comms.items()},
+        primary_msgs=SC.round_msgs_to_ints(res.round_msgs),
+        rw_products=rw_proof,
+        if_products=if_proofs,
+        spartan=sp_proof,
+        evals=evals,
+        t_opening=t_open,
+        m_openings=m_open,
+        n_steps=n,
+        mem_bits=mem_bits,
+        code_base=code_base,
+        ram_base=ram_base,
     )
 
 
-def verify(proof: JoltProof, srs: pst13.SRS) -> bool:
-    if not lasso.verify(proof.lasso_proof, proof.instr_names, proof.log_n, srs):
+def _rw_claim_names(instr_names):
+    """Columns whose rho_rw openings reconstruct the rw leaf claims."""
+    mems = INS.memories_for(instr_names)
+    names = []
+    for s, c in mems:
+        names += [f"dim_{c}", f"E_{s}_{c}", f"lct_{s}_{c}"]
+    for i in range(ST.C):
+        names += [f"chx_{i}", f"rngx_ct_{i}"]
+    for i in range(ST.C):
+        names += [f"chy_{i}", f"rngy_ct_{i}"]
+    names += ["bc_rs1", "rs1_val", "rs1_ct", "bc_rs2", "rs2_val", "rs2_ct",
+              "bc_rd", "rd_pre", "rd_val", "rd_ct",
+              "ram_addr", "ram_read", "ram_write", "ram_ct",
+              "bc_addr", "bc_bitflags", "bc_imm", "bc_ct"]
+    seen, out = set(), []
+    for nm in names:
+        if nm not in seen:
+            seen.add(nm)
+            out.append(nm)
+    return out
+
+
+# --- verifier ---------------------------------------------------------------
+
+
+def _mle_eval_ints(values, rho):
+    table = [1]
+    for rb in rho:
+        table = [x * (1 - rb) % MOD for x in table] + \
+                [x * rb % MOD for x in table]
+    return sum(v % MOD * e for v, e in zip(values, table)) % MOD
+
+
+def verify(proof: JoltProof, program_words, srs: pst13.SRS) -> bool:
+    try:
+        instr_names = instr_set_for(program_words)
+    except NotImplementedError:
         return False
-    instances = [(nm, mb, list(iv)) for nm, mb, iv in proof.mem_instances]
-    return RW.verify(proof.memory_proof, instances, srs)
+    cs = US.build(instr_names, proof.code_base, proof.ram_base)
+    mems = INS.memories_for(instr_names)
+    image = bytecode_image(program_words, instr_names)
+    r_pad = len(image)
+    n = proof.n_steps
+    log_n = n.bit_length() - 1
+    if 1 << log_n != n:
+        return False
+    m_order = m_column_order(instr_names, proof.mem_bits, r_pad)
+    logical = _logical_memories(instr_names, proof.mem_bits, r_pad)
+    ev = proof.evals
+
+    ht = T.HostTranscript(LABEL)
+    ht.absorb(n)
+    t_order = t_column_order(cs, instr_names)
+    for k in t_order:
+        if k not in proof.comms:
+            return False
+        ht.absorb_point(proof.comms[k])
+    for s, names in m_order.items():
+        for nm in names:
+            if ("m", s, nm) not in proof.comms:
+                return False
+            ht.absorb_point(proof.comms[("m", s, nm)])
+
+    t_claims = []           # (point ints, value) canonical order
+
+    def need(tag, name, point):
+        if (tag, name) not in ev:
+            raise KeyError
+        t_claims.append((point, ev[(tag, name)]))
+        return ev[(tag, name)]
+
+    try:
+        # 1. primary sumcheck
+        r = ht.challenges(log_n)
+        degree = 2 + max(INS.INSTRUCTIONS[nm].degree for nm in instr_names)
+        r_z, expected = SC.verify(proof.primary_msgs, 0, ht)
+        if len(proof.primary_msgs[0]) != degree + 1:
+            return False
+        ev_mem = {}
+        acc = 0
+        for s, c in mems:
+            ev_mem[(s, c)] = ev[("rz", f"E_{s}_{c}")]
+        ops = INS.HostOps()
+        for nm in instr_names:
+            g = INS.INSTRUCTIONS[nm].combine(ops, ev_mem)
+            acc = (acc + ev[("rz", f"flag_{nm}")] * g) % MOD
+        out_v = ev[("rz", "lookup_out")]
+        if US._eq_eval_ints(r, r_z) * (acc - out_v) % MOD != expected:
+            return False
+        for nm in instr_names:
+            need("rz", f"flag_{nm}", r_z)
+        for s, c in mems:
+            need("rz", f"E_{s}_{c}", r_z)
+        need("rz", "lookup_out", r_z)
+
+        # 2. memory checking
+        gamma, tau = ht.challenges(2)
+        rho_rw, claims_rw = GP.verify_batched(proof.rw_products, ht)
+
+        rw_vals = {nm: ev[("rw", nm)] for nm in _rw_claim_names(instr_names)}
+        li = 0
+        prods_rw = {}
+        pi = 0
+        for kind, key, size in logical:
+            addr_col, slots = _rw_cols(kind, key)
+            n_slots = len(slots)
+            r_prod = w_prod = 1
+            for vr, vw, ctk in slots:
+                ct = rw_vals[ctk]
+                if kind in ("rngx", "rngy"):
+                    a = (1 << ST.BYTE) * rw_vals[addr_col] % MOD
+                    rv_, wv_ = [a], [a]
+                elif kind == "bytecode":
+                    a = rw_vals[addr_col]
+                    rv_ = wv_ = [rw_vals[k] for k in BC_VALUE_COLS]
+                elif kind == "regs":
+                    a = rw_vals[{"rs1_val": "bc_rs1", "rs2_val": "bc_rs2",
+                                 "rd_pre": "bc_rd"}[vr]]
+                    rv_, wv_ = [rw_vals[vr]], [rw_vals[vw]]
+                else:
+                    a = rw_vals[addr_col]
+                    rv_, wv_ = [rw_vals[vr]], [rw_vals[vw]]
+                fp_r = _fp_ints(gamma, tau, a, rv_, ct)
+                fp_w = _fp_ints(gamma, tau, a, wv_, (ct + 1) % MOD)
+                if claims_rw[li] != fp_r or claims_rw[li + 1] != fp_w:
+                    return False
+                r_prod = r_prod * proof.rw_products.products[li] % MOD
+                w_prod = w_prod * proof.rw_products.products[li + 1] % MOD
+                li += 2
+            prods_rw[(kind, key)] = (r_prod, w_prod)
+
+        # init/final batches
+        prods_if = {}
+        sizes = sorted({size for _, _, size in logical})
+        for s in sizes:
+            if s not in proof.if_products:
+                return False
+            rho_s, claims_s = GP.verify_batched(proof.if_products[s], ht)
+            idx_eval = sum((1 << bnum) * rho_s[bnum]
+                           for bnum in range(len(rho_s))) % MOD
+            li2 = 0
+            for kind, key, size in logical:
+                if size != s:
+                    continue
+                if kind == "lasso":
+                    sub, ch = key
+                    tv = ST.evaluate_mle_ints(sub, rho_s)
+                    fct = ev[("if", s, f"fct_{sub}_{ch}")]
+                    fp_i = _fp_ints(gamma, tau, idx_eval, [tv], 0)
+                    fp_f = _fp_ints(gamma, tau, idx_eval, [tv], fct)
+                elif kind in ("rngx", "rngy"):
+                    fct = ev[("if", s, f"rng{kind[3]}_fct_{key}")]
+                    fp_i = _fp_ints(gamma, tau, idx_eval, [idx_eval], 0)
+                    fp_f = _fp_ints(gamma, tau, idx_eval, [idx_eval], fct)
+                elif kind == "regs":
+                    fp_i = _fp_ints(gamma, tau, idx_eval, [0], 0)
+                    fp_f = _fp_ints(gamma, tau, idx_eval,
+                                    [ev[("if", s, "reg_final")]],
+                                    ev[("if", s, "reg_final_ct")])
+                elif kind == "ram":
+                    fp_i = _fp_ints(gamma, tau, idx_eval, [0], 0)
+                    fp_f = _fp_ints(gamma, tau, idx_eval,
+                                    [ev[("if", s, "ram_final")]],
+                                    ev[("if", s, "ram_final_ct")])
+                else:  # bytecode
+                    tup = [_mle_eval_ints([row[i] for row in image], rho_s)
+                           for i in range(5)]
+                    fp_i = _fp_ints(gamma, tau, idx_eval, tup, 0)
+                    fp_f = _fp_ints(gamma, tau, idx_eval, tup,
+                                    ev[("if", s, "bc_fct")])
+                if claims_s[li2] != fp_i or claims_s[li2 + 1] != fp_f:
+                    return False
+                i_prod = proof.if_products[s].products[li2]
+                f_prod = proof.if_products[s].products[li2 + 1]
+                prods_if[(kind, key)] = (i_prod, f_prod)
+                li2 += 2
+            prods_if[("rho", s)] = rho_s
+
+        # multiset equality per logical memory
+        for kind, key, size in logical:
+            r_p, w_p = prods_rw[(kind, key)]
+            i_p, f_p = prods_if[(kind, key)]
+            if r_p * f_p % MOD != w_p * i_p % MOD:
+                return False
+
+        # rw claims enter the batched opening
+        for nm in _rw_claim_names(instr_names):
+            need("rw", nm, rho_rw)
+
+        # 3. uniform Spartan
+        openings = {nm: ev[("rt", nm)] for nm in cs.committed}
+        ok, r_t, shift_z, shift_final = US.verify(ht, cs, proof.spartan, n,
+                                                  openings)
+        if not ok:
+            return False
+        for nm in cs.committed:
+            need("rt", nm, r_t)
+        if ev[("shift", "bc_addr")] != shift_final:
+            return False
+        need("shift", "bc_addr", shift_z)
+
+        # 4. the single trace-domain opening proof
+        comm_list = []
+        # rebuild the claim->commitment pairing in the same canonical order
+        claim_cols = ([f"flag_{nm}" for nm in instr_names]
+                      + [f"E_{s}_{c}" for s, c in mems] + ["lookup_out"]
+                      + _rw_claim_names(instr_names)
+                      + list(cs.committed) + ["bc_addr"])
+        for nm in claim_cols:
+            comm_list.append(pst13.Commitment(proof.comms[nm]))
+        if len(comm_list) != len(t_claims):
+            return False
+        if not OA.verify(ht, t_claims, comm_list, proof.t_opening, srs):
+            return False
+
+        # 5. per-size init/final openings
+        for s in sizes:
+            for nm in m_order[s]:
+                ht.absorb(ev[("if", s, nm)])
+            eta = ht.challenge()
+            vals = [ev[("if", s, nm)] for nm in m_order[s]]
+            agg = pst13.aggregate_evals_ints(eta, vals)
+            cms = [pst13.Commitment(proof.comms[("m", s, nm)])
+                   for nm in m_order[s]]
+            if not pst13.batch_verify(srs, cms, vals, eta,
+                                      prods_if[("rho", s)], agg,
+                                      proof.m_openings[s]):
+                return False
+    except (KeyError, ValueError, IndexError):
+        return False
+    return True
