@@ -91,11 +91,39 @@ def bin_and(x, y, zero=None):
     d = (x & y) ^ (x & yb) ^ (xb & y)
     if zero is not None:
         d = d ^ zero
+    from . import comm
+    comm.record_binary_and(d.shape[1:])
     return d
 
 
 def bin_shl(x, k: int):
     return x << jnp.uint32(k)
+
+
+def ring_mul(x, y, zero=None):
+    """Rep3 multiply of additive Z_2^32 ring shares: local 3-term cross
+    product (wraparound is the ring reduction) + optional zero re-share —
+    the ring analog of mpc.mul (rep3_ring arithmetic, SURVEY §2.1)."""
+    xb = jnp.roll(x, 1, axis=0)
+    yb = jnp.roll(y, 1, axis=0)
+    d = x * y + x * yb + xb * y
+    if zero is not None:
+        d = d + zero
+    from . import comm
+    comm.record_binary_and(d.shape[1:])
+    return d
+
+
+def ring_zero_shares(key, shape):
+    """Correlated additive-zero ring shares (r_p - r_{p-1})."""
+    keys = jax.random.split(key, 3)
+    r = jnp.stack([jax.random.bits(k, shape, dtype=U32) for k in keys])
+    return r - jnp.roll(r, 1, axis=0)
+
+
+def ring_add_public(x, c):
+    """Add a public u32 constant: party 0 only."""
+    return x.at[0].set(x[0] + jnp.uint32(c))
 
 
 # --- a2b: additive (mod 2^32) -> binary -------------------------------------
@@ -149,10 +177,26 @@ def b2a_fr(bin_shares, key):
     s0+s1+s2 - 2*e2 + 4*e3 (e2, e3 = elementary symmetric) computed with the
     Rep3 field multiplication (two batched muls).
     """
+    b_arith = b2a_bits_fr(bin_shares, nbits=W)
+    # sum_bit 2^bit * b_bit
+    acc = None
+    for bit in range(W):
+        term = F.mul_small(FR, b_arith[bit], 1 << bit)
+        acc = term if acc is None else F.add(FR, acc, term)
+    return acc
+
+
+def b2a_bits_fr(bin_shares, nbits: int = W):
+    """Binary u32 shares [3, ...] -> per-bit Fr share stacks
+    [nbits, 3, ..., 16] (each entry an arithmetic sharing of bit j of the
+    value). The bit-level output is what MPC witness generation consumes to
+    assemble lookup dims and one-hot vectors share-side
+    (instruction_lookups/witness.rs:52-210's a2b chunking).
+    """
     shape = bin_shares.shape[1:]
     # bits as field elements, trivially shared per owner party
     bit_stacks = []
-    for bit in range(W):
+    for bit in range(nbits):
         bits = (bin_shares >> jnp.uint32(bit)) & jnp.uint32(1)
         # party p's share s_p known to p and p+1: promote s_p into an Fr
         # trivial share held at slot p
@@ -186,11 +230,5 @@ def b2a_fr(bin_shares, key):
     e3 = vmul(uv, w)
     b_arith = F.sub(FR, s1, F.add(FR, e2, e2))
     four_e3 = F.add(FR, F.add(FR, e3, e3), F.add(FR, e3, e3))
-    b_arith = F.add(FR, b_arith, four_e3)  # [W, 3, ..., 16]
-
-    # sum_bit 2^bit * b_bit
-    acc = None
-    for bit in range(W):
-        term = F.mul_small(FR, b_arith[bit], 1 << bit)
-        acc = term if acc is None else F.add(FR, acc, term)
-    return acc
+    b_arith = F.add(FR, b_arith, four_e3)  # [nbits, 3, ..., 16]
+    return b_arith

@@ -60,12 +60,22 @@ def expand_seeded(spec: FieldSpec, key_data, explicit_share, shape):
 
 
 @functools.partial(jax.jit, static_argnums=0)
-def combine(spec: FieldSpec, shares):
-    """Reconstruct the secret: modular sum over the party axis (axis 0)."""
+def _combine_impl(spec: FieldSpec, shares):
     acc = shares[0]
     for p in range(1, shares.shape[0]):
         acc = F.add(spec, acc, shares[p])
     return acc
+
+
+def combine(spec: FieldSpec, shares):
+    """Reconstruct the secret: modular sum over the party axis (axis 0).
+
+    Comm accounting fires at call time (not trace time) so cache-hit
+    compiled programs still count."""
+    from . import comm
+
+    comm.record_open(shares.shape[1:])
+    return _combine_impl(spec, shares)
 
 
 def promote_public(spec: FieldSpec, value):
