@@ -39,6 +39,22 @@ MOD = FR.modulus
 LABEL = b"co_zkvms_tpu/spartan/v1"
 
 
+class ZkData(NamedTuple):
+    """ZK attachments (spartan/src/zk.rs parity): per-sumcheck mask
+    commitments + endpoint openings, mask sums, and the hiding witness
+    opening replacing the plain PST13 one."""
+
+    g1_comms: list              # [nv] (x, y) univariate KZG commitments
+    g1_sum: int
+    g1_vals: list               # per-variable u(rx_k) openings
+    g1_proofs: list
+    g2_comms: list
+    g2_sum: int
+    g2_vals: list
+    g2_proofs: list
+    w_hiding: object            # zk.HidingProof
+
+
 class SpartanProof(NamedTuple):
     w_commitment: tuple         # (x, y) ints
     sumcheck1_msgs: list        # [nv][4] ints
@@ -48,8 +64,9 @@ class SpartanProof(NamedTuple):
     sumcheck2_msgs: list        # [nv][3] ints
     w_eval: int
     val_m: int
-    w_proof: pst13.OpeningProof
+    w_proof: object             # pst13.OpeningProof (None in zk mode)
     dfs: object = None          # optional DFSRoundProof (succinct val_m check)
+    zk: object = None           # optional ZkData — proof is zero-knowledge
 
 
 class SpartanIndex(NamedTuple):
@@ -88,12 +105,20 @@ def _msgs_to_ints(round_msgs):
     return [[int(v) for v in row] for row in vals]
 
 
-def prove(index: SpartanIndex, srs: pst13.SRS, z_ints, dfs=None) -> SpartanProof:
+def prove(index: SpartanIndex, srs: pst13.SRS, z_ints, dfs=None,
+          zk_ctx=None) -> SpartanProof:
     """Prove knowledge of a satisfying z (public witness path).
 
     ``z_ints``: full wire assignment (unpadded). The io region is public;
     only the w region is committed.
+
+    ``zk_ctx``: optional (zk.ZkParams, random.Random) — produce a
+    zero-knowledge proof: masked sumcheck round messages (committed mask
+    polynomials opened at the endpoints) and a hiding, re-randomized
+    witness commitment/opening. Maps spartan/src/zk.rs.
     """
+    from ..ops import zk as ZK
+
     r1cs = index.r1cs
     nv = index.nv
     zp = r1cs.pad_z(z_ints)
@@ -102,10 +127,28 @@ def prove(index: SpartanIndex, srs: pst13.SRS, z_ints, dfs=None) -> SpartanProof
     z_table = F.from_int(FR, zp)
     w_table = F.from_int(FR, w_ints)
 
-    # round 1: witness commitment
-    w_comm = pst13.commit(srs, w_table)
+    zk_params, zk_rng = zk_ctx if zk_ctx is not None else (None, None)
+
+    # round 1: witness commitment (hiding in zk mode)
+    if zk_ctx is not None:
+        w_blinder = zk_rng.randrange(MOD)
+        w_comm = ZK.hide_commit(srs, zk_params, w_table, w_blinder)
+    else:
+        w_comm = pst13.commit(srs, w_table)
     ht = T.HostTranscript(LABEL)
     ht.absorb_point(w_comm.xy)
+
+    zk1 = zk2 = None
+    if zk_ctx is not None:
+        g1_coeffs, g1_dev = ZK.generate_mask(zk_rng, nv, 3)
+        g1_comms = ZK.commit_mask(zk_params, g1_coeffs)
+        g1_sum = ZK.mask_sum_ints(g1_coeffs)
+        for cm in g1_comms:
+            ht.absorb_point(cm)
+        ht.absorb(g1_sum)
+        rho1 = ht.challenge()
+        zk1 = (F.from_int(FR, rho1), g1_dev)
+
     state = ht.device_state()
     state, taus = T.challenge_fes(state, nv)
 
@@ -114,13 +157,23 @@ def prove(index: SpartanIndex, srs: pst13.SRS, z_ints, dfs=None) -> SpartanProof
     az = index.da.mul_vec(z_table)
     bz = index.db.mul_vec(z_table)
     cz = index.dc.mul_vec(z_table)
-    res1 = SC.prove(FR, state, [eq_tau, az, bz, cz], degree=3, comb=_comb1)
+    res1 = SC.prove(FR, state, [eq_tau, az, bz, cz], degree=3, comb=_comb1,
+                    zk_mask=zk1)
     rx = res1.challenges
     va = res1.final_polys[1][0]
     vb = res1.final_polys[2][0]
     vc = res1.final_polys[3][0]
 
-    state = T.absorb_fes(FR, res1.state, jnp.stack([va, vb, vc]))
+    state = res1.state
+    g1_vals = g1_proofs = None
+    if zk_ctx is not None:
+        ht1 = T.HostTranscript.from_device_state(state)
+        rx_ints = [int(v) for v in F.to_int(FR, res1.challenges)]
+        g1_vals, g1_proofs = ZK.open_mask(zk_params, g1_coeffs, rx_ints)
+        ht1.absorb_many(g1_vals)
+        state = ht1.device_state()
+
+    state = T.absorb_fes(FR, state, jnp.stack([va, vb, vc]))
     state, rabc = T.challenge_fes(state, 3)
 
     # M_rx(y) table and second sumcheck
@@ -128,12 +181,41 @@ def prove(index: SpartanIndex, srs: pst13.SRS, z_ints, dfs=None) -> SpartanProof
     m_rx = index.da.weighted_col_table(F.mul(FR, eq_rx, rabc[0]))
     m_rx = F.add(FR, m_rx, index.db.weighted_col_table(F.mul(FR, eq_rx, rabc[1])))
     m_rx = F.add(FR, m_rx, index.dc.weighted_col_table(F.mul(FR, eq_rx, rabc[2])))
-    res2 = SC.prove(FR, state, [m_rx, z_table], degree=2, comb=_comb2)
+    if zk_ctx is not None:
+        g2_coeffs, g2_dev = ZK.generate_mask(zk_rng, nv, 2)
+        g2_comms = ZK.commit_mask(zk_params, g2_coeffs)
+        g2_sum = ZK.mask_sum_ints(g2_coeffs)
+        ht2a = T.HostTranscript.from_device_state(state)
+        for cm in g2_comms:
+            ht2a.absorb_point(cm)
+        ht2a.absorb(g2_sum)
+        rho2 = ht2a.challenge()
+        zk2 = (F.from_int(FR, rho2), g2_dev)
+        state = ht2a.device_state()
+
+    res2 = SC.prove(FR, state, [m_rx, z_table], degree=2, comb=_comb2,
+                    zk_mask=zk2)
     ry = res2.challenges
     val_m = int(F.to_int(FR, res2.final_polys[0][0]))
 
-    # witness opening at ry
-    w_eval, w_proof = pst13.open_at(srs, w_table, ry)
+    # witness opening at ry (hiding + re-randomized in zk mode)
+    zk_data = None
+    if zk_ctx is not None:
+        ry_ints = [int(v) for v in F.to_int(FR, ry)]
+        g2_vals, g2_proofs = ZK.open_mask(zk_params, g2_coeffs, ry_ints)
+        htf = T.HostTranscript.from_device_state(res2.state)
+        htf.absorb_many(g2_vals)
+        res2 = res2._replace(state=htf.device_state())
+        w_eval, w_hiding = ZK.hide_open(srs, zk_params, w_table, ry,
+                                        w_blinder, zk_rng)
+        w_proof = None
+        zk_data = ZkData(
+            g1_comms=g1_comms, g1_sum=g1_sum, g1_vals=g1_vals,
+            g1_proofs=g1_proofs, g2_comms=g2_comms, g2_sum=g2_sum,
+            g2_vals=g2_vals, g2_proofs=g2_proofs, w_hiding=w_hiding,
+        )
+    else:
+        w_eval, w_proof = pst13.open_at(srs, w_table, ry)
 
     if dfs is not None:
         from . import spartan_dfs
@@ -158,6 +240,7 @@ def prove(index: SpartanIndex, srs: pst13.SRS, z_ints, dfs=None) -> SpartanProof
         val_m=val_m,
         w_proof=w_proof,
         dfs=dfs_proof,
+        zk=zk_data,
     )
 
 
@@ -174,24 +257,50 @@ def verify(
     public_inputs,
     proof: SpartanProof,
     dfs_vk=None,
+    zk_params=None,
 ) -> bool:
     """Host verifier (Python ints). ``public_inputs``: io values WITHOUT the
-    leading constant-1 wire."""
+    leading constant-1 wire. ``zk_params`` required iff the proof is zk."""
+    from ..ops import zk as ZK
+
     r1cs = index.r1cs
     nv = index.nv
+    zkd = proof.zk
+    if (zkd is None) != (zk_params is None):
+        return False
     try:
         ht = T.HostTranscript(LABEL)
         ht.absorb_point(proof.w_commitment)
+        rho1 = rho2 = 0
+        if zkd is not None:
+            for cm in zkd.g1_comms:
+                ht.absorb_point(cm)
+            ht.absorb(zkd.g1_sum)
+            rho1 = ht.challenge()
         taus = ht.challenges(nv)
 
-        rx, expected1 = SC.verify(proof.sumcheck1_msgs, 0, ht)
+        claim1 = rho1 * zkd.g1_sum % MOD if zkd is not None else 0
+        rx, expected1 = SC.verify(proof.sumcheck1_msgs, claim1, ht)
         eq_tau_rx = _eq_eval_ints(taus, rx)
-        if expected1 != (proof.va * proof.vb - proof.vc) % MOD * eq_tau_rx % MOD:
+        want1 = (proof.va * proof.vb - proof.vc) % MOD * eq_tau_rx % MOD
+        if zkd is not None:
+            if not ZK.verify_mask(zk_params, zkd.g1_comms, rx, zkd.g1_vals,
+                                  zkd.g1_proofs):
+                return False
+            want1 = (want1 + rho1 * (sum(zkd.g1_vals) % MOD)) % MOD
+            ht.absorb_many(zkd.g1_vals)
+        if expected1 != want1:
             return False
 
         ht.absorb_many([proof.va, proof.vb, proof.vc])
         ra, rb, rc = ht.challenges(3)
         claim2 = (ra * proof.va + rb * proof.vb + rc * proof.vc) % MOD
+        if zkd is not None:
+            for cm in zkd.g2_comms:
+                ht.absorb_point(cm)
+            ht.absorb(zkd.g2_sum)
+            rho2 = ht.challenge()
+            claim2 = (claim2 + rho2 * zkd.g2_sum) % MOD
         ry, expected2 = SC.verify(proof.sumcheck2_msgs, claim2, ht)
 
         # z(ry) = io(ry) + w(ry)
@@ -199,11 +308,23 @@ def verify(
         io_vals = [1] + [int(v) % MOD for v in public_inputs]
         io_eval = sum(v * eq_ry[i] for i, v in enumerate(io_vals)) % MOD
         z_ry = (io_eval + proof.w_eval) % MOD
-        if expected2 != proof.val_m * z_ry % MOD:
+        want2 = proof.val_m * z_ry % MOD
+        if zkd is not None:
+            if not ZK.verify_mask(zk_params, zkd.g2_comms, ry, zkd.g2_vals,
+                                  zkd.g2_proofs):
+                return False
+            want2 = (want2 + rho2 * (sum(zkd.g2_vals) % MOD)) % MOD
+            ht.absorb_many(zkd.g2_vals)
+        if expected2 != want2:
             return False
 
-        # PST13 witness opening
-        if not pst13.verify(
+        # witness opening: hiding check in zk mode, plain PST13 otherwise
+        if zkd is not None:
+            if not ZK.hide_check(srs, zk_params,
+                                 pst13.Commitment(proof.w_commitment), ry,
+                                 proof.w_eval, zkd.w_hiding):
+                return False
+        elif not pst13.verify(
             srs, pst13.Commitment(proof.w_commitment), ry, proof.w_eval, proof.w_proof
         ):
             return False

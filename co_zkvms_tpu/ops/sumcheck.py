@@ -59,14 +59,25 @@ def _pad_elems(p, target):
 
 
 def _make_round_fn(spec: FieldSpec, degree: int, comb, shared: bool,
-                   repad: bool = False):
+                   repad: bool = False, zk: bool = False):
     """Build (and jit) the per-round kernel for a given comb function.
 
     ``repad=True`` keeps the output tables at the INPUT shape by zero-padding
     the bound halves back up — the fixed-shape small-round regime.
+
+    ``zk=True`` adds the ZK mask polynomial's round contribution in closed
+    form (maps ark-linear-sumcheck's mask_round, used by spartan/src/zk.rs):
+    for g(x) = sum_var u_var(x_var) with per-variable univariates u of
+    degree d, round j's message gains
+
+        rho1 * ( 2^R * (A + u_j(t)) + 2^(R-1) * suffix_j ),
+
+    R = #remaining vars, A = sum_{k<j} u_k(r_k) (threaded through rounds),
+    suffix_j = sum_{k>j} (u_k(0) + u_k(1)). The mask coefficients never
+    leave the device; the verifier only sees g's opening at the endpoint.
     """
 
-    def round_fn(state, polys, mask=None, consts=None):
+    def round_fn(state, polys, mask=None, consts=None, zkarg=None):
         evens = [_elem_slice(p, slice(0, None, 2)) for p in polys]
         odds = [_elem_slice(p, slice(1, None, 2)) for p in polys]
         slopes = [F.sub(spec, o, e) for o, e in zip(odds, evens)]
@@ -86,15 +97,32 @@ def _make_round_fn(spec: FieldSpec, degree: int, comb, shared: bool,
             for p in range(1, msg.shape[0]):
                 opened = F.add(spec, opened, msg[p])
             msg = opened  # [degree+1, 16]
+        a_next = None
+        if zk:
+            # zkarg: (rho1 [16], u_evals [d+1,16], coeffs [d+1,16],
+            #         suffix [16], pow_r [16], pow_r1 [16], A [16])
+            rho1, u_ev, coeffs, suffix, pow_r, pow_r1, acc_a = zkarg
+            gj = F.add(spec, u_ev, jnp.broadcast_to(acc_a, u_ev.shape))
+            gj = F.mul(spec, jnp.broadcast_to(pow_r, gj.shape), gj)
+            gj = F.add(spec, gj, jnp.broadcast_to(
+                F.mul(spec, pow_r1, suffix), gj.shape))
+            msg = F.add(spec, msg,
+                        F.mul(spec, jnp.broadcast_to(rho1, gj.shape), gj))
         state = T.absorb_fes(spec, state, msg)
         state, r = T.challenge_fe(state)
+        if zk:
+            # A <- A + u_j(r) via Horner over the coefficient row
+            u_r = coeffs[degree]
+            for i in range(degree - 1, -1, -1):
+                u_r = F.add(spec, F.mul(spec, u_r, r), coeffs[i])
+            a_next = F.add(spec, zkarg[6], u_r)
         bound = [
             F.add(spec, e, F.mul(spec, jnp.broadcast_to(r, s.shape), s))
             for e, s in zip(evens, slopes)
         ]
         if repad:
             bound = [_pad_elems(b, polys[0].shape[-2]) for b in bound]
-        return state, r, msg, bound
+        return state, r, msg, bound, a_next
 
     return jax.jit(round_fn)
 
@@ -106,6 +134,48 @@ class SumcheckResult(NamedTuple):
     final_polys: list         # each [..., 1, 16] — tables bound at r
 
 
+def zk_mask_precompute(spec: FieldSpec, coeffs, degree: int):
+    """Precompute per-round zk-mask tensors from coefficients [nv, d+1, 16].
+
+    Returns (u_evals [nv, d+1, 16] — u_j at t=0..d, suffix [nv, 16],
+    pow_r [nv, 16] = 2^(nv-j-1), pow_r1 [nv, 16] = 2^(nv-j-2) or 0 at the
+    last round, g_sum [16] = sum of g over the hypercube)."""
+    nv = coeffs.shape[0]
+    u_evals = []
+    for t in range(degree + 1):
+        acc = coeffs[:, degree]
+        for i in range(degree - 1, -1, -1):
+            tf = F.from_int(spec, t)
+            acc = F.add(spec, F.mul(spec, acc, jnp.broadcast_to(
+                tf, acc.shape)), coeffs[:, i])
+        u_evals.append(acc)
+    u_evals = jnp.stack(u_evals, axis=1)            # [nv, d+1, 16]
+    u01 = F.add(spec, u_evals[:, 0], u_evals[:, 1])  # [nv, 16]
+    # suffix_j = sum_{k>j} (u_k(0)+u_k(1)) — reverse cumulative sum
+    suffix = []
+    run = jnp.zeros((F.NLIMBS,), dtype=jnp.uint32)
+    for j in range(nv - 1, -1, -1):
+        suffix.append(run)
+        run = F.add(spec, run, u01[j])
+    suffix = jnp.stack(suffix[::-1])
+    g_sum = F.mul(spec, F.from_int(spec, 1 << (nv - 1)), F.modsum(spec, u01, 0))
+    pow_r = F.from_int(spec, [1 << (nv - j - 1) for j in range(nv)])
+    pow_r1 = F.from_int(spec,
+                        [(1 << (nv - j - 2)) if j < nv - 1 else 0
+                         for j in range(nv)])
+    # the last round has R = 0 remaining vars: suffix term vanishes anyway
+    return u_evals, suffix, pow_r, pow_r1, g_sum
+
+
+def zk_mask_eval(spec: FieldSpec, coeffs, point):
+    """g(z) = sum_var u_var(z_var) for coefficients [nv, d+1, 16]."""
+    nv, d1, _ = coeffs.shape
+    acc = coeffs[:, d1 - 1]
+    for i in range(d1 - 2, -1, -1):
+        acc = F.add(spec, F.mul(spec, acc, point), coeffs[:, i])
+    return F.modsum(spec, acc, 0)
+
+
 def prove(
     spec: FieldSpec,
     state,
@@ -115,26 +185,40 @@ def prove(
     masks=None,
     shared: bool = False,
     consts=None,
+    zk_mask=None,
 ) -> SumcheckResult:
     """Run all sumcheck rounds. ``polys`` tables must share element length 2^nv.
 
-    ``masks``: optional [nv, 3, degree+1, 16] zero-share stacks (ZK/MPC
+    ``masks``: optional [nv, 3, degree+1, 16] zero-share stacks (MPC
     re-randomization of round messages; sums to zero so the opened transcript
     values are unchanged).
+
+    ``zk_mask``: optional (rho1 [16], coeffs [nv, degree+1, 16]) — fold the
+    mask polynomial g into every round message (see _make_round_fn). The
+    caller commits g and opens g(z) at the endpoint; the verifier's final
+    check subtracts rho1 * g(z).
     """
     n = polys[0].shape[-2]
     nv = n.bit_length() - 1
     assert 1 << nv == n
-    key = (spec, degree, comb, shared)
+    zk = zk_mask is not None
+    key = (spec, degree, comb, shared, zk)
     if key not in _round_fn_cache:
-        _round_fn_cache[key] = _make_round_fn(spec, degree, comb, shared)
-    key_f = (spec, degree, comb, shared, "fixed")
+        _round_fn_cache[key] = _make_round_fn(spec, degree, comb, shared,
+                                              zk=zk)
+    key_f = (spec, degree, comb, shared, zk, "fixed")
     if key_f not in _round_fn_cache:
         _round_fn_cache[key_f] = _make_round_fn(
-            spec, degree, comb, shared, repad=True
+            spec, degree, comb, shared, repad=True, zk=zk
         )
     round_fn = _round_fn_cache[key]
     fixed_fn = _round_fn_cache[key_f]
+
+    if zk:
+        rho1, coeffs = zk_mask
+        u_evals, suffix, pow_r, pow_r1, _ = zk_mask_precompute(
+            spec, coeffs, degree)
+        acc_a = jnp.zeros((F.NLIMBS,), dtype=jnp.uint32)
 
     in_fixed = False
     rs, msgs = [], []
@@ -146,7 +230,13 @@ def prove(
             in_fixed = True
         mask = None if masks is None else masks[j]
         fn = fixed_fn if in_fixed else round_fn
-        state, r, msg, polys = fn(state, polys, mask, consts)
+        zkarg = None
+        if zk:
+            zkarg = (rho1, u_evals[j], coeffs[j], suffix[j], pow_r[j],
+                     pow_r1[j], acc_a)
+        state, r, msg, polys, a_next = fn(state, polys, mask, consts, zkarg)
+        if zk:
+            acc_a = a_next
         rs.append(r)
         msgs.append(msg)
     if in_fixed:

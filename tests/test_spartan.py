@@ -73,3 +73,38 @@ def test_spartan_e2e(srs):
     assert not spartan.verify(index, srs, [35], bad2)
     bad3 = proof._replace(w_eval=(proof.w_eval + 1) % MOD)
     assert not spartan.verify(index, srs, [35], bad3)
+
+
+def test_spartan_zk(srs):
+    """ZK mode: masked sumchecks + hiding witness commitment; two proofs of
+    the same witness are differently randomized, both verify; tampering any
+    zk claim is rejected (spartan/src/zk.rs parity)."""
+    import random
+
+    from co_zkvms_tpu.ops import zk as ZK
+
+    b = cubic_circuit()
+    r1cs = b.build()
+    z = [1, 35, 3, 9, 27]
+    index = spartan.SpartanIndex.from_r1cs(r1cs)
+    params = ZK.from_seed(srs.nv, seed=2, max_deg=4)
+
+    p1 = spartan.prove(index, srs, z, zk_ctx=(params, random.Random(1)))
+    p2 = spartan.prove(index, srs, z, zk_ctx=(params, random.Random(2)))
+    assert spartan.verify(index, srs, [35], p1, zk_params=params)
+    assert spartan.verify(index, srs, [35], p2, zk_params=params)
+    # randomization: same witness, different commitments/messages/proofs
+    assert p1.w_commitment != p2.w_commitment
+    assert p1.sumcheck1_msgs != p2.sumcheck1_msgs
+    assert p1.zk.g1_comms != p2.zk.g1_comms
+
+    # a zk proof without params (or vice versa) is rejected
+    assert not spartan.verify(index, srs, [35], p1)
+    # tampered mask opening rejected
+    badzk = p1.zk._replace(g1_vals=[(p1.zk.g1_vals[0] + 1) % MOD]
+                           + p1.zk.g1_vals[1:])
+    assert not spartan.verify(index, srs, [35], p1._replace(zk=badzk),
+                              zk_params=params)
+    # tampered witness eval rejected
+    bad = p1._replace(w_eval=(p1.w_eval + 1) % MOD)
+    assert not spartan.verify(index, srs, [35], bad, zk_params=params)
