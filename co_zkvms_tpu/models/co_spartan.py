@@ -82,6 +82,7 @@ def prove_rep3(
     share_key=None,
     mask_key=None,
     mesh=None,
+    dfs=None,
 ) -> SpartanProof:
     """3-party MPC Spartan prove (in-process simulation of all parties).
 
@@ -154,6 +155,22 @@ def prove_rep3(
 
     w_eval, w_proof = _open_shares(srs, w_shares, ry)
 
+    # succinct round 4 (Spark-logup over the committed index) runs on PUBLIC
+    # data, so the MPC path reuses the single-party DFS prover verbatim —
+    # exactly the reference's distributed public fourth round
+    # (co-spartan/src/worker.rs:399-574, coordinator.rs:474-589)
+    if dfs is not None:
+        from . import spartan_dfs
+
+        ht4 = T.HostTranscript.from_device_state(res2.state)
+        ht4.absorb(w_eval)
+        ht4.absorb(val_m)
+        dfs_proof = spartan_dfs.prove_round4(
+            dfs, srs, ht4, rx, ry, rabc, res2.challenges
+        )
+    else:
+        dfs_proof = None
+
     return SpartanProof(
         w_commitment=w_comm.xy,
         sumcheck1_msgs=_msgs_to_ints(res1.round_msgs),
@@ -164,6 +181,7 @@ def prove_rep3(
         w_eval=w_eval,
         val_m=val_m,
         w_proof=w_proof,
+        dfs=dfs_proof,
     )
 
 

@@ -51,3 +51,22 @@ def test_co_spartan_different_share_keys_same_proof(setup):
         index, srs, z, share_key=jax.random.key(99), mask_key=jax.random.key(100)
     )
     assert p1 == p2  # resharing/masking randomness never reaches the proof
+
+
+def test_co_spartan_succinct_round4():
+    """MPC proof carries the DFS round: verify never touches the matrices
+    (worker.rs:399-574 parity — round 4 is public data)."""
+    from co_zkvms_tpu.models import spartan_dfs
+
+    b = cubic_circuit()
+    r1cs = b.build()
+    z = [1, 35, 3, 9, 27]
+    index = spartan.SpartanIndex.from_r1cs(r1cs)
+    srs = pst13.setup_cached(max(index.nv + 1, 4), seed=3)
+    dfs = spartan_dfs.build_index(r1cs, srs)
+
+    single = spartan.prove(index, srs, z, dfs=dfs)
+    mpc_proof = co_spartan.prove_rep3(index, srs, z, dfs=dfs)
+    assert mpc_proof == single
+    assert mpc_proof.dfs is not None
+    assert spartan.verify(index, srs, [35], mpc_proof, dfs_vk=dfs.vk)
