@@ -57,18 +57,31 @@ def _comb_gkr_shared(polys, consts):
     return F.mul(FR, eq, acc)
 
 
-def compute_layers(leaves, shared: bool = False):
-    """All GKR layers bottom-up. leaves: [B, N, 16] or [3, B, N, 16]."""
+def compute_layers(leaves, shared: bool = False, masks_rng=None,
+                   mask_base: int = 0):
+    """All GKR layers bottom-up. leaves: [B, N, 16] or [3, B, N, 16].
+
+    Shared layer products are re-randomized with correlated zero shares when
+    ``masks_rng`` is given: the product output is the additive share that a
+    real 3-party deployment reshares over the ring (one message per layer —
+    rep3/arithmetic.rs:51-105), so it must carry fresh randomness before the
+    next layer takes its b-component."""
     layers = [leaves]
     cur = leaves
+    lk = 0
     while cur.shape[-2] > 1:
         even = cur[..., 0::2, :]
         odd = cur[..., 1::2, :]
         if shared:
-            cur = mpc.mul(FR, even, odd)
+            mask = None
+            if masks_rng is not None:
+                mask = masks_rng.zero_shares(
+                    FR, mask_base + 31 * lk + 17, even.shape[1:-1])
+            cur = mpc.mul(FR, even, odd, zero_mask=mask)
         else:
             cur = F.mul(FR, even, odd)
         layers.append(cur)
+        lk += 1
     return layers
 
 
@@ -90,7 +103,8 @@ def prove_batched(state, leaves, shared: bool = False, masks_rng=None,
     Returns (state', proof, final_point [n,16], final_claims device [B,16]).
     ``leaves``: [B, N, 16] (public) or [3, B, N, 16] (Rep3 share stacks).
     """
-    layers = compute_layers(leaves, shared)
+    layers = compute_layers(leaves, shared, masks_rng=masks_rng,
+                            mask_base=mask_base + 50000)
     b = leaves.shape[-3]
     n_layers = len(layers) - 1
 
@@ -151,6 +165,134 @@ def _powers(x, n):
     for _ in range(n - 1):
         out.append(F.mul(FR, out[-1], x))
     return jnp.stack(out)
+
+
+# --- toggled (sparse) grand products ----------------------------------------
+#
+# Maps co-jolt's Rep3ToggledBatchedGrandProduct
+# (subprotocols/sparse_grand_product.rs:76-919): instance b's leaves are
+# flag-toggled fingerprints  E_b(x) = f_b(x) * fp_b(x) + 1 - f_b(x), so
+# un-flagged steps contribute a multiplicative 1. The reference exploits the
+# sparsity with CPU sparse-interleaved layers; on TPU the leaves are ONE
+# fused vectorized op and the dense GKR kernels run at HBM bandwidth —
+# gather-based nnz compression would be slower until density < ~1/50 (VPU
+# ops are ~free relative to irregular HBM gathers), so the sparse win is
+# realized as work saved in the *claims*, not the layout.
+#
+# What the verifier gains is identical to the reference: the GKR bottom
+# claim is reduced by ONE extra degree-3 sumcheck
+#     E(r) = sum_x eq(r, x) * (f(x) * fp(x) + 1 - f(x))
+# to claims on the COMMITTED fp polynomials and the public flags — E itself
+# is never committed or opened (sparse_grand_product.rs:304-919's final
+# layers play this role).
+
+
+class ToggledProof(NamedTuple):
+    gp: GrandProductProof
+    leaf_msgs: list             # [rounds][4] ints — leaf-reduction sumcheck
+    fp_claims: list             # [B] ints — fingerprint evals at final point
+    flag_claims: list           # [B] ints — flag evals (public, checkable)
+
+
+def _comb_toggled(polys, consts):
+    eq, flags, fps = polys
+    (coeffs,) = consts
+    one = F.ones_mont(FR)
+    e = F.add(FR, F.mul(FR, flags, fps),
+              F.sub(FR, jnp.broadcast_to(one, flags.shape), flags))
+    mix = F.mul(FR, e, coeffs[:, None, :])
+    return F.mul(FR, eq, F.modsum(FR, mix, 0))
+
+
+def _comb_toggled_shared(polys, consts):
+    eq, flags, fps = polys              # flags/eq public, fps [3, B, h, 16]
+    (coeffs,) = consts
+    one = F.ones_mont(FR)
+    e = F.mul(FR, flags[None], fps)     # public x shared: local
+    pub = F.sub(FR, jnp.broadcast_to(one, flags.shape), flags)
+    e = mpc.add_public(FR, e, pub)
+    mix = F.mul(FR, e, coeffs[None, :, None, :])
+    return F.mul(FR, eq[None], F.modsum(FR, mix, 1))
+
+
+def toggled_leaves(flags, fps, shared: bool = False):
+    """E = f * fp + 1 - f. ``flags``: public [B, N, 16]; ``fps``: [B, N, 16]
+    or [3, B, N, 16]."""
+    one = F.ones_mont(FR)
+    pub = F.sub(FR, jnp.broadcast_to(one, flags.shape), flags)
+    if shared:
+        return mpc.add_public(FR, F.mul(FR, flags[None], fps), pub)
+    return F.add(FR, F.mul(FR, flags, fps), pub)
+
+
+def prove_toggled(state, flags, fps, shared: bool = False, masks_rng=None,
+                  mask_base: int = 0):
+    """Toggled batched grand product. Returns
+    (state', ToggledProof, final_point [nv, 16]); the caller ties fp_claims
+    to committed fingerprint openings at final_point and recomputes the
+    public flag evals itself."""
+    leaves = toggled_leaves(flags, fps, shared)
+    state, gp, point, claims = prove_batched(
+        state, leaves, shared, masks_rng=masks_rng, mask_base=mask_base)
+
+    b = flags.shape[0]
+    state, rho = T.challenge_fe(state)
+    coeffs = _powers(rho, b)
+    eq_r = P.eq_table(FR, point)
+    masks = None
+    nrounds = point.shape[0]
+    if shared and masks_rng is not None:
+        masks = jnp.stack([
+            masks_rng.zero_shares(FR, mask_base + 555_000 + j, (4,))
+            for j in range(nrounds)
+        ])
+    res = SC.prove(
+        FR, state, [eq_r, flags, fps], degree=3,
+        comb=_comb_toggled_shared if shared else _comb_toggled,
+        consts=(coeffs,), masks=masks, shared=shared,
+    )
+    state = res.state
+    fp_fin = res.final_polys[2]
+    if shared:
+        fp_vals = Sh.combine(FR, fp_fin)[..., 0, :]
+    else:
+        fp_vals = fp_fin[..., 0, :]
+    flag_vals = res.final_polys[1][..., 0, :]
+    state = T.absorb_fes(FR, state, fp_vals)
+    proof = ToggledProof(
+        gp=gp,
+        leaf_msgs=SC.round_msgs_to_ints(res.round_msgs),
+        fp_claims=_to_ints(fp_vals),
+        flag_claims=_to_ints(flag_vals),
+    )
+    return state, proof, res.challenges
+
+
+def verify_toggled(proof: ToggledProof, ht: T.HostTranscript,
+                   flag_eval_fn):
+    """Host verification. ``flag_eval_fn(point_ints) -> [B] ints`` evaluates
+    the public flag MLEs (the verifier can — flags are bytecode-derived).
+    Returns (final_point ints, fp_claims ints) for the opening stage."""
+    point, claims = verify_batched(proof.gp, ht)
+    b = len(claims)
+    rho = ht.challenge()
+    coeffs = [pow(rho, i, MOD) for i in range(b)]
+    claim = sum(c * cl for c, cl in zip(coeffs, claims)) % MOD
+    rs, expected = SC.verify(proof.leaf_msgs, claim, ht)
+    flag_vals = flag_eval_fn(rs)
+    if flag_vals != proof.flag_claims:
+        raise ValueError("toggled GP: flag eval mismatch")
+    eq_val = 1
+    for rv, pv in zip(rs, point):
+        eq_val = eq_val * (rv * pv + (1 - rv) * (1 - pv)) % MOD
+    got = 0
+    for c_i, f, fp in zip(coeffs, flag_vals, proof.fp_claims):
+        e = (f * fp + 1 - f) % MOD
+        got = (got + c_i * e) % MOD
+    if got * eq_val % MOD != expected:
+        raise ValueError("toggled GP: leaf reduction mismatch")
+    ht.absorb_many(proof.fp_claims)
+    return rs, list(proof.fp_claims)
 
 
 def verify_batched(proof: GrandProductProof, ht: T.HostTranscript):
