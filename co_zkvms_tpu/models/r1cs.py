@@ -130,6 +130,7 @@ class R1CSBuilder:
         self.num_public = num_public
         self.num_wires = num_public
         self.rows_a, self.rows_b, self.rows_c = [], [], []
+        self.hints = []         # [("range_bits", src_wire, [bit_wires])]
 
     def new_wire(self) -> int:
         w = self.num_wires
@@ -167,16 +168,24 @@ class R1CSBuilder:
             num_wires=self.num_wires,
         )
 
-    def solve_witness(self, public_inputs):
+    def solve_witness(self, public_inputs, assignments=None):
         """Solve for all wires given io values (z[0]=1 implicit).
 
-        Returns the full z (ints) or raises if a row has >1 unknown.
+        Fixpoint solver: repeatedly sweeps rows solving any with exactly one
+        unknown (linear OR one unknown factor with the other side known —
+        covers inverses/quotients whose values ACVM gets from Brillig), and
+        executes hints ("range_bits": decompose a known wire into its bit
+        wires). ``assignments``: extra known wire -> value seeds (ABI
+        inputs). Raises if wires remain unsolved.
         """
-        assert len(public_inputs) == self.num_public - 1
         z = [None] * self.num_wires
         z[0] = 1
-        for i, v in enumerate(public_inputs):
-            z[1 + i] = int(v) % MOD
+        if public_inputs is not None:
+            assert len(public_inputs) == self.num_public - 1
+            for i, v in enumerate(public_inputs):
+                z[1 + i] = int(v) % MOD
+        for w, v in (assignments or {}).items():
+            z[w] = int(v) % MOD
 
         def eval_terms(terms):
             """(known_sum, unknown_list[(coeff, wire)])."""
@@ -188,31 +197,62 @@ class R1CSBuilder:
                     s = (s + int(coeff) * z[wire]) % MOD
             return s, unk
 
-        for ra, rb, rc in zip(self.rows_a, self.rows_b, self.rows_c):
-            sa, ua = eval_terms(ra)
-            sb, ub = eval_terms(rb)
-            sc, uc = eval_terms(rc)
-            n_unknown = len(ua) + len(ub) + len(uc)
-            if n_unknown == 0:
-                if sa * sb % MOD != sc:
-                    raise ValueError("unsatisfiable constraint")
-                continue
-            if n_unknown > 1:
-                raise ValueError("cannot solve: more than one unknown in row")
-            if uc:
-                coeff, wire = uc[0]
-                val = (sa * sb - sc) % MOD * pow(coeff, -1, MOD) % MOD
-            elif ua:
-                coeff, wire = ua[0]
-                if sb == 0:
-                    raise ValueError("cannot solve: b side is zero")
-                val = (sc * pow(sb, -1, MOD) - sa) % MOD * pow(coeff, -1, MOD) % MOD
-            else:
-                coeff, wire = ub[0]
-                if sa == 0:
-                    raise ValueError("cannot solve: a side is zero")
-                val = (sc * pow(sa, -1, MOD) - sb) % MOD * pow(coeff, -1, MOD) % MOD
-            z[wire] = val
+        pending = list(range(len(self.rows_a)))
+        pending_hints = list(self.hints)
+        while True:
+            progress = False
+            still = []
+            for i in pending:
+                ra, rb, rc = self.rows_a[i], self.rows_b[i], self.rows_c[i]
+                sa, ua = eval_terms(ra)
+                sb, ub = eval_terms(rb)
+                sc, uc = eval_terms(rc)
+                n_unknown = len(ua) + len(ub) + len(uc)
+                if n_unknown == 0:
+                    if sa * sb % MOD != sc:
+                        raise ValueError("unsatisfiable constraint")
+                    progress = True
+                    continue
+                if n_unknown > 1:
+                    still.append(i)
+                    continue
+                if uc:
+                    coeff, wire = uc[0]
+                    val = (sa * sb - sc) % MOD * pow(coeff, -1, MOD) % MOD
+                elif ua:
+                    coeff, wire = ua[0]
+                    if sb == 0:
+                        still.append(i)
+                        continue
+                    val = (sc * pow(sb, -1, MOD) - sa) % MOD \
+                        * pow(coeff, -1, MOD) % MOD
+                else:
+                    coeff, wire = ub[0]
+                    if sa == 0:
+                        still.append(i)
+                        continue
+                    val = (sc * pow(sa, -1, MOD) - sb) % MOD \
+                        * pow(coeff, -1, MOD) % MOD
+                z[wire] = val
+                progress = True
+            pending = still
+            still_h = []
+            for kind, src_w, bits in pending_hints:
+                if kind == "range_bits" and z[src_w] is not None:
+                    v = z[src_w]
+                    for j, bw in enumerate(bits):
+                        if z[bw] is None:
+                            z[bw] = (v >> j) & 1
+                    progress = True
+                else:
+                    still_h.append((kind, src_w, bits))
+            pending_hints = still_h
+            if not pending and not pending_hints:
+                break
+            if not progress:
+                raise ValueError(
+                    f"cannot solve: {len(pending)} rows stuck (values only "
+                    f"derivable by unconstrained Brillig code)")
         if any(v is None for v in z):
             raise ValueError("unsolved wires remain")
         return z
