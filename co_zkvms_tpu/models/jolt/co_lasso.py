@@ -30,6 +30,7 @@ from ...ops import pst13
 from ...ops import sumcheck as SC
 from ...ops import transcript as T
 from ...ops.field import FR
+from ...parallel import mpc
 from ...parallel import shares as Sh
 from ...parallel.rng import CorrelatedRng
 from .. import mpc_pcs
@@ -135,8 +136,8 @@ def prove_rep3(wit_shared: lasso.LassoWitness, srs: pst13.SRS,
         [("E", m) for m in wit.memories] + [("out",)]
     evals_rz = {}
     for key in rz_keys:
-        combined = Sh.combine(FR, get_stack(key))
-        evals_rz[key] = int(F.to_int(FR, P.evaluate(FR, combined, r_z)))
+        # share-side binding; only the scalar is opened (no plaintext poly)
+        evals_rz[key] = mpc.eval_open(FR, get_stack(key), r_z)
         ht.absorb(evals_rz[key])
     eta = ht.challenge()
     _, proof_rz = mpc_pcs.batch_open_shares(
@@ -179,8 +180,7 @@ def prove_rep3(wit_shared: lasso.LassoWitness, srs: pst13.SRS,
         [("read_ct", m) for m in wit.memories]
     evals_rw = {}
     for key in rw_keys:
-        combined = Sh.combine(FR, get_stack(key))
-        evals_rw[key] = int(F.to_int(FR, P.evaluate(FR, combined, rho_rw)))
+        evals_rw[key] = mpc.eval_open(FR, get_stack(key), rho_rw)
         ht.absorb(evals_rw[key])
     eta_rw = ht.challenge()
     _, proof_rw = mpc_pcs.batch_open_shares(
@@ -190,8 +190,7 @@ def prove_rep3(wit_shared: lasso.LassoWitness, srs: pst13.SRS,
     if_keys = [("final_ct", m) for m in wit.memories]
     evals_if = {}
     for key in if_keys:
-        combined = Sh.combine(FR, get_stack(key))
-        evals_if[key] = int(F.to_int(FR, P.evaluate(FR, combined, rho_if)))
+        evals_if[key] = mpc.eval_open(FR, get_stack(key), rho_if)
         ht.absorb(evals_if[key])
     eta_if = ht.challenge()
     _, proof_if = mpc_pcs.batch_open_shares(

@@ -1,0 +1,284 @@
+"""MPC witness generation for co-Lasso: shared operands in, shared witness out.
+
+Maps co-jolt's ``generate_witness_rep3`` + ``subtable_lookup_indices_rep3``
+(jolt/vm/instruction_lookups/witness.rs:52-210) and the one-hot shared-LUT
+reads of ``Rep3LookupTable`` (instruction/mod.rs:200): no party ever holds
+the plaintext operands, dims, subtable reads, counters, or outputs.
+
+TPU-first re-design (vs the reference's sequential per-step LUT ops):
+
+- operands arrive as Rep3 ring shares (u32 lanes); ``a2b`` (Kogge-Stone,
+  5 AND rounds) + per-bit ``b2a`` produce arithmetic bit shares once per
+  index mode, vectorized over all trace steps;
+- a chunk's one-hot vector is a log2(M)-level tensor-product chain — ONE
+  batched share-mul per level (vs M sequential OHV ops per step);
+- read counters: the reference writes a shared counter LUT step by step
+  (inherently sequential). Here  read_ct[t] = <Q[t], ohv[t]>  where
+  Q[t] = sum_{s<t} ohv[s] is an (exclusive) associative scan over steps —
+  share-local because addition is local — so ALL counters cost one scan
+  plus ONE batched share-mul. final_ct is the inclusive total (local).
+- the instruction schedule (flags) is public — it is bytecode-derived, as
+  in the reference where flag polys are public (witness.rs:189-199) — so
+  per-mode candidate dims/OHVs are combined by public selection, locally.
+
+Geometry limits: the u32 ring covers index widths up to 32 bits, i.e.
+WORD<=31 for sum/diff and WORD<=16 for the MUL family (prod indices are
+2*WORD bits); xy/shift/x modes work at any WORD. The architectural WORD=32
+path for sum/diff/prod needs a 2-limb ring adder (staged; mini geometries
+are what the proof tests exercise, matching the reference's test scales).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops import field as F
+from ...ops.field import FR
+from ...parallel import binary as B
+from ...parallel import mpc
+from ...parallel.rng import CorrelatedRng
+from . import instructions as INS
+from . import lasso
+from . import subtables as ST
+
+MOD = FR.modulus
+
+
+def share_operands(key, xs, ys):
+    """Trace-holder side: ring-share the operand columns (the analog of
+    stream_secret_shares for instruction lookups, witness.rs:82-127)."""
+    kx, ky = jax.random.split(key)
+    x = jnp.asarray(np.asarray(xs, dtype=np.int64) & 0xFFFFFFFF).astype(
+        jnp.uint32)
+    y = jnp.asarray(np.asarray(ys, dtype=np.int64) & 0xFFFFFFFF).astype(
+        jnp.uint32)
+    return B.ring_share(kx, x), B.ring_share(ky, y)
+
+
+def _zero_stack(n):
+    z = jnp.zeros((3, n, F.NLIMBS), dtype=jnp.uint32)
+    return z
+
+
+class _BitBank:
+    """Arithmetic bit shares [3, n, 16] per (source, bit index); bits beyond
+    a source's width are public zeros (free)."""
+
+    def __init__(self, n):
+        self.n = n
+        self.banks = {}
+
+    def add(self, name, bits_arr, nbits):
+        self.banks[name] = (bits_arr, nbits)
+
+    def get(self, name, j):
+        arr, nb = self.banks[name]
+        if j >= nb:
+            return None                 # public zero bit
+        return arr[j]
+
+
+def _ohv_from_bits(bank, bit_idxs, n, crng, tag):
+    """One-hot vector over 2^len(bit_idxs) entries from bit shares (LSB
+    first): tensor-product chain, one masked share-mul per level."""
+    ones = F.ones_mont(FR, (n, 1))
+    v = jnp.stack([ones, jnp.zeros_like(ones), jnp.zeros_like(ones)])
+    for j, (src, bi) in enumerate(bit_idxs):
+        b = bank.get(src, bi)
+        if b is None:
+            # public zero bit: new = [v, 0]
+            v = jnp.concatenate([v, jnp.zeros_like(v)], axis=2)
+            continue
+        bb = jnp.broadcast_to(b[:, :, None, :], v.shape)
+        mask = crng.zero_shares(FR, tag + 13 * j + 1, v.shape[1:-1])
+        vb = mpc.mul(FR, v, bb, zero_mask=mask)
+        v = jnp.concatenate([F.sub(FR, v, vb), vb], axis=2)
+    return v                            # [3, n, 2^B, 16]
+
+
+def _mode_chunk_bits(mode: str, chunk: int):
+    """Ordered (source, bit) list (LSB first) for chunk ``chunk`` of an
+    index mode — mirrors SubtableSpec.to_indices bit layouts."""
+    c, logm, byte, word = ST.C, ST.LOG_M, ST.BYTE, ST.WORD
+    if mode in ("sum", "diff", "prod", "x"):
+        base = logm * (c - 1 - chunk)
+        return [("idx_" + mode, base + j) for j in range(logm)]
+    if mode == "xy":
+        shift = byte * (c - 1 - chunk)
+        return ([("y", shift + j) for j in range(byte)]
+                + [("x", shift + j) for j in range(byte)])
+    if mode == "shift":
+        shift = byte * (c - 1 - chunk)
+        return ([("y", j) for j in range(byte)]
+                + [("x", shift + j) for j in range(byte)])
+    raise ValueError(mode)
+
+
+def generate_witness_rep3(key, x_ring, y_ring, schedule, instr_names=None,
+                          pad_to=None) -> lasso.LassoWitness:
+    """Build the full shared Lasso witness from Rep3 ring-shared operands.
+
+    ``x_ring``/``y_ring``: [3, n_real] u32 ring share stacks.
+    ``schedule``: public list of instruction names, one per real step
+    (bytecode-derived). Returns a LassoWitness whose polynomial fields are
+    [3, ., 16] Rep3 stacks, drop-in for co_lasso.prove_rep3; combining the
+    stacks reproduces lasso.build_witness on the plaintext queries exactly.
+    """
+    if instr_names is None:
+        instr_names = tuple(sorted(set(schedule)))
+    memories = tuple(INS.memories_for(instr_names))
+    n_real = len(schedule)
+    n = pad_to or max(4, 1 << (n_real - 1).bit_length())
+    c, logm, word = ST.C, ST.LOG_M, ST.WORD
+
+    modes = []
+    for nm in instr_names:
+        m = INS.INSTRUCTIONS[nm].index_mode
+        if m not in modes:
+            modes.append(m)
+    for m in modes:
+        if m in ("sum", "diff") and word > 31:
+            raise NotImplementedError("sum/diff a2b needs 2-limb ring at "
+                                      "WORD=32 (staged)")
+        if m == "prod" and 2 * word > 32:
+            raise NotImplementedError("prod a2b needs 2-limb ring for "
+                                      "WORD>16 (staged)")
+
+    # pad operand shares to n (padding steps: operands 0, no instruction)
+    def pad(r):
+        return jnp.pad(r, ((0, 0), (0, n - n_real)))
+
+    x_ring, y_ring = pad(x_ring), pad(y_ring)
+
+    keys = jax.random.split(key, 16)
+    crng = CorrelatedRng.create(keys[0])
+
+    # --- bit banks per source ------------------------------------------
+    bank = _BitBank(n)
+    if any(m in ("xy", "shift", "x") for m in modes):
+        bank.add("x", B.b2a_bits_fr(B.a2b(x_ring, keys[1]), word), word)
+    if any(m in ("xy", "shift") for m in modes):
+        bank.add("y", B.b2a_bits_fr(B.a2b(y_ring, keys[2]), word), word)
+    if "x" in modes:
+        bank.add("idx_x", bank.banks["x"][0], word)
+    if "sum" in modes:
+        s = x_ring + y_ring
+        bank.add("idx_sum", B.b2a_bits_fr(B.a2b(s, keys[3]),
+                                          min(32, word + 1)),
+                 min(32, word + 1))
+    if "diff" in modes:
+        d = B.ring_add_public(x_ring - y_ring, 1 << word)
+        bank.add("idx_diff", B.b2a_bits_fr(B.a2b(d, keys[4]),
+                                           min(32, word + 1)),
+                 min(32, word + 1))
+    if "prod" in modes:
+        p = B.ring_mul(x_ring, y_ring,
+                       B.ring_zero_shares(keys[5], x_ring.shape[1:]))
+        bank.add("idx_prod", B.b2a_bits_fr(B.a2b(p, keys[6]), 2 * word),
+                 2 * word)
+
+    # --- public mode selection flags ------------------------------------
+    flag_np = {m: np.zeros(n, dtype=np.int64) for m in modes}
+    instr_flag_np = {nm: np.zeros(n, dtype=np.int64) for nm in instr_names}
+    for t, nm in enumerate(schedule):
+        flag_np[INS.INSTRUCTIONS[nm].index_mode][t] = 1
+        instr_flag_np[nm][t] = 1
+    pad_np = np.ones(n, dtype=np.int64)
+    for m in modes:
+        pad_np -= flag_np[m]
+
+    def sel_mont(v01):
+        """[n] 0/1 -> [n, 16] Montgomery selector table."""
+        return F.from_int(FR, [int(v) for v in v01])
+
+    flag_dev = {m: sel_mont(flag_np[m]) for m in modes}
+    pad_dev = sel_mont(pad_np)
+
+    # --- per-chunk dims + one-hot vectors, mode-selected -----------------
+    dims = {}
+    ohv_sel = {}
+    e0 = jnp.zeros((ST.M, F.NLIMBS), dtype=jnp.uint32)
+    e0 = e0.at[0].set(F.ones_mont(FR))
+    for i in range(c):
+        dim_acc = _zero_stack(n)
+        ohv_acc = jnp.stack([
+            F.mul(FR, pad_dev[:, None, :],
+                  jnp.broadcast_to(e0[None], (n, ST.M, F.NLIMBS))),
+            jnp.zeros((n, ST.M, F.NLIMBS), jnp.uint32),
+            jnp.zeros((n, ST.M, F.NLIMBS), jnp.uint32),
+        ])
+        for mi, m in enumerate(modes):
+            bits = _mode_chunk_bits(m, i)
+            # dims: local linear recomposition of the chunk's bits
+            acc = _zero_stack(n)
+            for j, (src, bi) in enumerate(bits):
+                b = bank.get(src, bi)
+                if b is None:
+                    continue
+                acc = F.add(FR, acc, F.mul_small(FR, b, 1 << j))
+            dim_acc = F.add(FR, dim_acc,
+                            F.mul(FR, acc, flag_dev[m][None, :, :]))
+            ohv_m = _ohv_from_bits(
+                bank, bits, n, crng, tag=911_000 + 10_000 * mi + 100 * i)
+            ohv_acc = F.add(
+                FR, ohv_acc,
+                F.mul(FR, ohv_m, flag_dev[m][None, :, None, :]))
+        dims[i] = dim_acc
+        ohv_sel[i] = ohv_acc            # [3, n, M, 16]
+
+    # --- subtable reads, counters, flags, outputs ------------------------
+    e_polys = {}
+    read_cts = {}
+    final_cts = {}
+    q_excl = {}
+    for i in range(c):
+        # exclusive prefix counts per address — share-local scan
+        incl = jax.lax.associative_scan(
+            lambda a, b: F.add(FR, a, b), ohv_sel[i], axis=1)
+        excl = F.sub(FR, incl, ohv_sel[i])
+        q_excl[i] = excl
+        mask = crng.zero_shares(FR, 777_000 + i, ohv_sel[i].shape[1:-1])
+        rc = F.modsum(FR, mpc.mul(FR, excl, ohv_sel[i], zero_mask=mask),
+                      axis=2)           # [3, n, 16]
+        fc = incl[:, -1]                # [3, M, 16]
+        for sub, chunk in memories:
+            if chunk != i:
+                continue
+            table = ST.materialize(sub)     # [M, 16] Montgomery device
+            ev = F.modsum(
+                FR, F.mul(FR, ohv_sel[i], table[None, None]), axis=2)
+            e_polys[(sub, chunk)] = ev
+            read_cts[(sub, chunk)] = rc
+            final_cts[(sub, chunk)] = fc
+
+    flags = {
+        nm: jnp.stack([sel_mont(instr_flag_np[nm]),
+                       jnp.zeros((n, F.NLIMBS), jnp.uint32),
+                       jnp.zeros((n, F.NLIMBS), jnp.uint32)])
+        for nm in instr_names
+    }
+
+    ops = INS.SharedDeviceOps()
+    out_acc = _zero_stack(n)
+    for nm in instr_names:
+        ev = {mem: e_polys[mem]
+              for mem in INS.INSTRUCTIONS[nm].subtable_chunks}
+        collated = INS.INSTRUCTIONS[nm].combine(ops, ev)    # [3, n, 16]
+        out_acc = F.add(
+            FR, out_acc,
+            F.mul(FR, collated, sel_mont(instr_flag_np[nm])[None, :, :]))
+
+    return lasso.LassoWitness(
+        instr_names=tuple(instr_names),
+        memories=memories,
+        n=n,
+        flags=flags,
+        dims=dims,
+        dims_int=None,                  # no party holds plaintext dims
+        e_polys=e_polys,
+        outputs=out_acc,
+        read_cts=read_cts,
+        final_cts=final_cts,
+    )

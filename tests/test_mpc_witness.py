@@ -1,0 +1,125 @@
+"""MPC witness generation (VERDICT missing #4): co-Lasso starting from
+SHARED operands — a2b bit decomposition, tensor-product one-hot vectors,
+scan-based counters — with no party ever holding the plaintext witness.
+
+Conformance bar: combining the generated share stacks reproduces
+lasso.build_witness on the plaintext queries EXACTLY (so the downstream
+co-Lasso proof is bit-identical to single-party)."""
+
+import random
+
+import jax
+import numpy as np
+import pytest
+
+from co_zkvms_tpu.models.jolt import instructions as INS
+from co_zkvms_tpu.models.jolt import lasso
+from co_zkvms_tpu.models.jolt import mpc_witness as MW
+from co_zkvms_tpu.models.jolt import subtables as ST
+from co_zkvms_tpu.ops import field as F
+from co_zkvms_tpu.ops.field import FR
+from co_zkvms_tpu.parallel import shares as Sh
+
+
+@pytest.fixture(autouse=True)
+def _mini_geometry():
+    ST.set_config(4)
+    yield
+    ST.set_config(16)
+
+
+def _combine_ints(stack):
+    comb = Sh.combine(FR, stack)
+    vals = np.atleast_1d(F.to_int(FR, comb))
+    return [int(v) for v in vals.reshape(-1)]
+
+
+def _queries(rng, names, k):
+    w = ST.WORD
+    out = []
+    for _ in range(k):
+        op = names[rng.randrange(len(names))]
+        x, y = rng.randrange(1 << w), rng.randrange(1 << w)
+        out.append((op, x, y, INS.lookup_entry(op, x, y)))
+    return out
+
+
+def test_mpc_witness_matches_plaintext():
+    rng = random.Random(5)
+    names = ("ADD", "AND", "EQ", "SUB", "XOR")   # sum/diff/xy modes
+    queries = _queries(rng, names, 7)
+    want = lasso.build_witness(queries, instr_names=names)
+
+    xr, yr = MW.share_operands(
+        jax.random.key(3), [q[1] for q in queries], [q[2] for q in queries])
+    got = MW.generate_witness_rep3(
+        jax.random.key(4), xr, yr, [q[0] for q in queries],
+        instr_names=names)
+
+    assert got.n == want.n and got.memories == want.memories
+    for i in got.dims:
+        assert _combine_ints(got.dims[i]) == [
+            int(v) for v in np.asarray(
+                jax.device_get(F.to_int(FR, want.dims[i]))).reshape(-1)]
+    for mem in want.memories:
+        assert _combine_ints(got.e_polys[mem]) == [
+            int(v) for v in np.asarray(
+                jax.device_get(F.to_int(FR, want.e_polys[mem]))).reshape(-1)], mem
+        assert _combine_ints(got.read_cts[mem]) == [
+            int(v) for v in np.asarray(
+                jax.device_get(F.to_int(FR, want.read_cts[mem]))).reshape(-1)], mem
+        assert _combine_ints(got.final_cts[mem]) == [
+            int(v) for v in np.asarray(
+                jax.device_get(F.to_int(FR, want.final_cts[mem]))).reshape(-1)], mem
+    assert _combine_ints(got.outputs) == [
+        int(v) for v in np.asarray(
+            jax.device_get(F.to_int(FR, want.outputs))).reshape(-1)]
+    for nm in names:
+        assert _combine_ints(got.flags[nm]) == [
+            int(v) for v in np.asarray(
+                jax.device_get(F.to_int(FR, want.flags[nm]))).reshape(-1)]
+
+
+def test_mpc_witness_mul_and_shift_modes():
+    rng = random.Random(9)
+    names = ("MUL", "SLL")                        # prod + shift modes
+    queries = _queries(rng, names, 5)
+    want = lasso.build_witness(queries, instr_names=names)
+    xr, yr = MW.share_operands(
+        jax.random.key(5), [q[1] for q in queries], [q[2] for q in queries])
+    got = MW.generate_witness_rep3(
+        jax.random.key(6), xr, yr, [q[0] for q in queries],
+        instr_names=names)
+    for i in got.dims:
+        assert _combine_ints(got.dims[i]) == [
+            int(v) for v in np.asarray(
+                jax.device_get(F.to_int(FR, want.dims[i]))).reshape(-1)]
+    assert _combine_ints(got.outputs) == [
+        int(v) for v in np.asarray(
+            jax.device_get(F.to_int(FR, want.outputs))).reshape(-1)]
+
+
+@pytest.mark.slow
+def test_co_lasso_from_shared_operands():
+    """End-to-end: shared operands -> MPC witness -> Rep3 proof, bit-identical
+    to the single-party proof on the same queries."""
+    from co_zkvms_tpu.models.jolt import co_lasso
+    from co_zkvms_tpu.ops import pst13
+
+    rng = random.Random(11)
+    names = ("ADD", "AND", "EQ", "SUB", "XOR")
+    queries = _queries(rng, names, 7)
+    srs = pst13.setup_cached(ST.C * 2 + 1, seed=11)
+
+    wit = lasso.build_witness(queries, instr_names=names)
+    single = lasso.prove(wit, srs)
+
+    xr, yr = MW.share_operands(
+        jax.random.key(7), [q[1] for q in queries], [q[2] for q in queries])
+    wit3 = MW.generate_witness_rep3(
+        jax.random.key(8), xr, yr, [q[0] for q in queries],
+        instr_names=names)
+    proof3 = co_lasso.prove_rep3(wit3, srs)
+    assert proof3 == single
+    log_n = wit.n.bit_length() - 1
+    assert lasso.verify(proof3, names, log_n, srs)
