@@ -48,6 +48,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ...ops import field as F
@@ -58,6 +59,9 @@ from ...ops import pst13
 from ...ops import sumcheck as SC
 from ...ops import transcript as T
 from ...ops.field import FR
+from ...parallel import mpc
+from ...parallel import shares as Sh
+from .. import mpc_pcs
 from . import instructions as INS
 from . import lasso
 from . import rv32i as rv
@@ -357,18 +361,6 @@ def build_columns(trace, program_words, instr_names, mem_bits,
 # --- fingerprints -----------------------------------------------------------
 
 
-def _fp(gamma, tau, addr, values, ct):
-    """gamma^(k+1) ct + sum_i gamma^(i+1) v_i + addr - tau on device tables
-    (k = len(values)); the 1-value case matches lasso/rw_memory fp."""
-    acc = addr
-    g = gamma
-    for v in values:
-        acc = F.add(FR, acc, F.mul(FR, jnp.broadcast_to(g, v.shape), v))
-        g = F.mul(FR, g, gamma)
-    acc = F.add(FR, acc, F.mul(FR, jnp.broadcast_to(g, ct.shape), ct))
-    return F.sub(FR, acc, jnp.broadcast_to(tau, acc.shape))
-
-
 def _fp_ints(gamma, tau, addr, values, ct):
     acc = addr
     g = gamma
@@ -378,12 +370,175 @@ def _fp_ints(gamma, tau, addr, values, ct):
     return (acc + g * ct - tau) % MOD
 
 
+# --- proving backends -------------------------------------------------------
+
+
+class PlainBackend:
+    """Single-party proving: plain [n, 16] tables."""
+
+    shared = False
+
+    def make_dev(self, cols_ints):
+        return {k: F.from_int(FR, [v % MOD for v in vals])
+                for k, vals in cols_ints.items()}
+
+    def lift(self, t):
+        return t
+
+    def commit(self, srs, t):
+        return pst13.commit(srs, t)
+
+    def sc_masks(self, nv, degree, tag):
+        return None
+
+    def gp_kwargs(self, tag):
+        return {}
+
+    def oa_kwargs(self, tag):
+        return {}
+
+    def stack_gp(self, leaves):
+        return jnp.stack(leaves)
+
+    def open_scalar(self, x):
+        return int(F.to_int(FR, x))
+
+    def eval_claim(self, t, point):
+        return int(F.to_int(FR, P.evaluate(FR, t, point)))
+
+    def add_public_scalar(self, acc, c, n_steps):
+        cf = F.from_int(FR, c)
+        return F.add(FR, acc, jnp.broadcast_to(cf, acc.shape))
+
+    def add_one(self, ct):
+        return F.add(FR, ct, jnp.broadcast_to(F.ones_mont(FR), ct.shape))
+
+    def fp(self, gamma, tau_i, addr, values, ct):
+        """gamma^(k+1) ct + sum_i gamma^(i+1) v_i + addr - tau."""
+        acc = addr
+        g = gamma
+        for v in values:
+            acc = F.add(FR, acc, F.mul(FR, jnp.broadcast_to(g, v.shape), v))
+            g = F.mul(FR, g, gamma)
+        acc = F.add(FR, acc, F.mul(FR, jnp.broadcast_to(g, ct.shape), ct))
+        tau = F.from_int(FR, tau_i)
+        return F.sub(FR, acc, jnp.broadcast_to(tau, acc.shape))
+
+    def batch_open(self, srs, tables, eta, point):
+        return pst13.batch_open(srs, tables, eta, point)
+
+
+class Rep3Backend:
+    """3-party Rep3 proving over [3, n, 16] share stacks (maps co-jolt's
+    JoltRep3Prover, jolt/vm/jolt/worker.rs:174-266): commitments are
+    per-party MSMs G1-merged, sumcheck round messages and GKR layer products
+    are masked with correlated zero shares, opening evaluations are computed
+    share-side (mpc.eval_open) and only the scalars are opened. Proofs are
+    bit-identical to PlainBackend on the same witness."""
+
+    shared = True
+
+    def __init__(self, share_key, mask_key):
+        from ...parallel.rng import CorrelatedRng
+
+        self.share_key = share_key
+        self.crng = CorrelatedRng.create(mask_key)
+
+    _ctr = 0
+
+    def make_dev(self, cols_ints):
+        out = {}
+        for k, vals in sorted(cols_ints.items()):
+            key = jax.random.fold_in(self.share_key, Rep3Backend._ctr_next(self))
+            out[k] = Sh.share(FR, key,
+                              F.from_int(FR, [v % MOD for v in vals]))
+        return out
+
+    def _ctr_next(self):
+        self._ctr += 1
+        return self._ctr
+
+    def lift(self, t):
+        return Sh.promote_public(FR, t)
+
+    def commit(self, srs, t):
+        return mpc_pcs.commit_shares(srs, t)
+
+    def sc_masks(self, nv, degree, tag):
+        return jnp.stack([
+            self.crng.zero_shares(FR, 100_000 * tag + j, (degree + 1,))
+            for j in range(nv)
+        ])
+
+    def gp_kwargs(self, tag):
+        return {"shared": True, "masks_rng": self.crng,
+                "mask_base": 100_000 * tag}
+
+    def oa_kwargs(self, tag):
+        return {"shared": True, "masks_rng": self.crng,
+                "mask_base": 100_000 * tag}
+
+    def stack_gp(self, leaves):
+        return jnp.stack(leaves, axis=1)
+
+    def open_scalar(self, x):
+        return int(F.to_int(FR, Sh.combine(FR, x)))
+
+    def eval_claim(self, t, point):
+        return mpc.eval_open(FR, t, point)
+
+    def add_public_scalar(self, acc, c, n_steps):
+        cf = F.from_int(FR, c)
+        return mpc.add_public(FR, acc, jnp.broadcast_to(cf, acc.shape[1:]))
+
+    def add_one(self, ct):
+        return mpc.add_public(
+            FR, ct, jnp.broadcast_to(F.ones_mont(FR), ct.shape[1:]))
+
+    def fp(self, gamma, tau_i, addr, values, ct):
+        acc = addr
+        g = gamma
+        for v in values:
+            acc = F.add(FR, acc, F.mul(FR, jnp.broadcast_to(g, v.shape), v))
+            g = F.mul(FR, g, gamma)
+        acc = F.add(FR, acc, F.mul(FR, jnp.broadcast_to(g, ct.shape), ct))
+        neg_tau = F.from_int(FR, (-tau_i) % MOD)
+        return mpc.add_public(FR, acc,
+                              jnp.broadcast_to(neg_tau, acc.shape[1:]))
+
+    def batch_open(self, srs, tables, eta, point):
+        return mpc_pcs.batch_open_shares(srs, tables, eta, point)
+
+
 # --- prover -----------------------------------------------------------------
 
 
 def prove(program_words, srs: pst13.SRS, mem_bits: int = 8,
           max_steps: int = 1 << 12, memory=None,
           code_base: int = 0x400, ram_base: int = 0x100) -> JoltProof:
+    return _prove_impl(PlainBackend(), program_words, srs, mem_bits,
+                       max_steps, memory, code_base, ram_base)
+
+
+def prove_rep3(program_words, srs: pst13.SRS, mem_bits: int = 8,
+               max_steps: int = 1 << 12, memory=None,
+               code_base: int = 0x400, ram_base: int = 0x100,
+               share_key=None, mask_key=None) -> JoltProof:
+    """Rep3 MPC proving of the full linked Jolt zkVM (coordinator witness
+    model: the trace holder secret-shares all columns — maps
+    JoltRep3::init_rep3 + prove_rep3, jolt/vm/jolt/coordinator.rs:35-223).
+    Produces the SAME JoltProof object, verified by the standard verifier,
+    bit-identical to the single-party proof."""
+    be = Rep3Backend(
+        share_key if share_key is not None else jax.random.key(11),
+        mask_key if mask_key is not None else jax.random.key(13),
+    )
+    return _prove_impl(be, program_words, srs, mem_bits, max_steps, memory,
+                       code_base, ram_base)
+
+
+def _prove_impl(be, program_words, srs, mem_bits, max_steps, memory,
+                code_base, ram_base) -> JoltProof:
     emu = rv.Emulator(program_words, base=code_base, memory=memory,
                       max_steps=max_steps)
     trace = emu.run()
@@ -397,23 +552,25 @@ def prove(program_words, srs: pst13.SRS, mem_bits: int = 8,
     mems = INS.memories_for(instr_names)
     image = bytecode_image(program_words, instr_names)
 
-    # device tables
-    dev = {k: F.from_int(FR, [v % MOD for v in cols[k]])
-           for k in t_column_order(cs, instr_names)}
+    # device tables (plain or Rep3-shared, per backend)
+    t_order = t_column_order(cs, instr_names)
+    dev = be.make_dev({k: cols[k] for k in t_order})
+    dev["bc_addr_next"] = be.make_dev(
+        {"bc_addr_next": cols["bc_addr_next"]})["bc_addr_next"]
     m_order = m_column_order(instr_names, mem_bits, r_pad)
-    mdev = {nm: F.from_int(FR, [v % MOD for v in m_cols[nm]])
-            for names in m_order.values() for nm in names}
+    mdev = be.make_dev({nm: m_cols[nm]
+                        for names in m_order.values() for nm in names})
 
     ht = T.HostTranscript(LABEL)
     ht.absorb(n)
     comms = {}
     for k in t_column_order(cs, instr_names):
-        cm = pst13.commit(srs, dev[k])
+        cm = be.commit(srs, dev[k])
         comms[k] = cm
         ht.absorb_point(cm.xy)
     for s, names in m_order.items():
         for nm in names:
-            cm = pst13.commit(srs, mdev[nm])
+            cm = be.commit(srs, mdev[nm])
             comms[("m", s, nm)] = cm
             ht.absorb_point(cm.xy)
 
@@ -421,7 +578,7 @@ def prove(program_words, srs: pst13.SRS, mem_bits: int = 8,
     t_claims = []       # (table, point_dev, value) in canonical order
 
     def claim(tag, name, table, point_dev):
-        v = int(F.to_int(FR, P.evaluate(FR, table, point_dev)))
+        v = be.eval_claim(table, point_dev)
         evals[(tag, name)] = v
         t_claims.append((table, point_dev, v))
         return v
@@ -432,9 +589,11 @@ def prove(program_words, srs: pst13.SRS, mem_bits: int = 8,
     polys = ([eq_r] + [dev[f"flag_{nm}"] for nm in instr_names]
              + [dev[f"E_{s}_{c}"] for s, c in mems] + [dev["lookup_out"]])
     degree = 2 + max(INS.INSTRUCTIONS[nm].degree for nm in instr_names)
-    comb, mono_consts = lasso.monomial_setup(instr_names, mems)
+    comb, mono_consts = lasso.monomial_setup(instr_names, mems,
+                                             shared=be.shared)
     res = SC.prove(FR, ht.device_state(), polys, degree=degree, comb=comb,
-                   consts=mono_consts)
+                   consts=mono_consts, masks=be.sc_masks(log_n, degree, 10),
+                   shared=be.shared)
     ht.state = T.HostTranscript.from_device_state(res.state).state
     r_z = res.challenges
     for nm in instr_names:
@@ -445,8 +604,7 @@ def prove(program_words, srs: pst13.SRS, mem_bits: int = 8,
 
     # 2. memory checking: one rw GKR batch (T domain) + per-size init/final
     gamma_i, tau_i = ht.challenges(2)
-    gamma, tau = F.from_int(FR, gamma_i), F.from_int(FR, tau_i)
-    one = F.ones_mont(FR)
+    gamma = F.from_int(FR, gamma_i)
     logical = _logical_memories(instr_names, mem_bits, r_pad)
 
     rw_leaves = []
@@ -456,7 +614,7 @@ def prove(program_words, srs: pst13.SRS, mem_bits: int = 8,
             a = F.mul(FR, jnp.broadcast_to(
                 F.from_int(FR, 1 << ST.BYTE), dev[addr_col].shape),
                 dev[addr_col])
-            vals = [a]
+            vals = [a]          # value == address (identity range table)
         elif kind == "bytecode":
             a = dev[addr_col]
             vals = [dev[k] for k in BC_VALUE_COLS]
@@ -465,17 +623,18 @@ def prove(program_words, srs: pst13.SRS, mem_bits: int = 8,
             vals = None
         for vr, vw, ctk in slots:
             ct = dev[ctk]
-            ctw = F.add(FR, ct, jnp.broadcast_to(one, ct.shape))
+            ctw = be.add_one(ct)
             if kind == "regs":
                 a = dev[{"rs1_val": "bc_rs1", "rs2_val": "bc_rs2",
                          "rd_pre": "bc_rd"}[vr]]
             rvals = vals if vals is not None else [dev[vr]]
             wvals = vals if vals is not None else [dev[vw]]
-            rw_leaves.append(_fp(gamma, tau, a, rvals, ct))
-            rw_leaves.append(_fp(gamma, tau, a, wvals, ctw))
+            rw_leaves.append(be.fp(gamma, tau_i, a, rvals, ct))
+            rw_leaves.append(be.fp(gamma, tau_i, a, wvals, ctw))
 
     state = ht.device_state()
-    state, rw_proof, rho_rw, _ = GP.prove_batched(state, jnp.stack(rw_leaves))
+    state, rw_proof, rho_rw, _ = GP.prove_batched(
+        state, be.stack_gp(rw_leaves), **be.gp_kwargs(20))
     ht.state = T.HostTranscript.from_device_state(state).state
 
     # rw-side opening claims at rho_rw
@@ -486,47 +645,48 @@ def prove(program_words, srs: pst13.SRS, mem_bits: int = 8,
     if_proofs = {}
     rho_if = {}
     sizes = sorted({size for _, _, size in logical})
-    for s in sizes:
+    for si, s in enumerate(sizes):
         leaves = []
-        addr_s = F.from_int(FR, list(range(s)))
-        zero_s = jnp.zeros_like(mdev[m_order[s][0]])
+        addr_s = be.lift(F.from_int(FR, list(range(s))))
+        zero_p = be.lift(jnp.zeros((s, F.NLIMBS), dtype=jnp.uint32))
         for kind, key, size in logical:
             if size != s:
                 continue
             if kind == "lasso":
                 sub, ch = key
-                tval = ST.materialize(sub)
-                leaves.append(_fp(gamma, tau, addr_s, [tval], zero_s))
-                leaves.append(_fp(gamma, tau, addr_s, [tval],
-                                  mdev[f"fct_{sub}_{ch}"]))
+                tval = be.lift(ST.materialize(sub))
+                leaves.append(be.fp(gamma, tau_i, addr_s, [tval], zero_p))
+                leaves.append(be.fp(gamma, tau_i, addr_s, [tval],
+                                    mdev[f"fct_{sub}_{ch}"]))
             elif kind in ("rngx", "rngy"):
-                leaves.append(_fp(gamma, tau, addr_s, [addr_s], zero_s))
-                leaves.append(_fp(gamma, tau, addr_s, [addr_s],
-                                  mdev[f"rng{kind[3]}_fct_{key}"]))
+                leaves.append(be.fp(gamma, tau_i, addr_s, [addr_s], zero_p))
+                leaves.append(be.fp(gamma, tau_i, addr_s, [addr_s],
+                                    mdev[f"rng{kind[3]}_fct_{key}"]))
             elif kind == "regs":
-                leaves.append(_fp(gamma, tau, addr_s, [zero_s], zero_s))
-                leaves.append(_fp(gamma, tau, addr_s, [mdev["reg_final"]],
-                                  mdev["reg_final_ct"]))
+                leaves.append(be.fp(gamma, tau_i, addr_s, [zero_p], zero_p))
+                leaves.append(be.fp(gamma, tau_i, addr_s, [mdev["reg_final"]],
+                                    mdev["reg_final_ct"]))
             elif kind == "ram":
-                leaves.append(_fp(gamma, tau, addr_s, [zero_s], zero_s))
-                leaves.append(_fp(gamma, tau, addr_s, [mdev["ram_final"]],
-                                  mdev["ram_final_ct"]))
+                leaves.append(be.fp(gamma, tau_i, addr_s, [zero_p], zero_p))
+                leaves.append(be.fp(gamma, tau_i, addr_s, [mdev["ram_final"]],
+                                    mdev["ram_final_ct"]))
             elif kind == "bytecode":
-                tup = [F.from_int(FR, [row[i] for row in image])
+                tup = [be.lift(F.from_int(FR, [row[i] for row in image]))
                        for i in range(5)]
-                leaves.append(_fp(gamma, tau, addr_s, tup, zero_s))
-                leaves.append(_fp(gamma, tau, addr_s, tup, mdev["bc_fct"]))
+                leaves.append(be.fp(gamma, tau_i, addr_s, tup, zero_p))
+                leaves.append(be.fp(gamma, tau_i, addr_s, tup,
+                                    mdev["bc_fct"]))
         state = ht.device_state()
-        state, pr, rho_s, _ = GP.prove_batched(state, jnp.stack(leaves))
+        state, pr, rho_s, _ = GP.prove_batched(
+            state, be.stack_gp(leaves), **be.gp_kwargs(30 + si))
         ht.state = T.HostTranscript.from_device_state(state).state
         if_proofs[s] = pr
         rho_if[s] = rho_s
         for nm in m_order[s]:
-            v = int(F.to_int(FR, P.evaluate(FR, mdev[nm], rho_s)))
-            evals[("if", s, nm)] = v
+            evals[("if", s, nm)] = be.eval_claim(mdev[nm], rho_s)
 
     # 3. uniform Spartan over the step constraints
-    sp_proof, r_t, shift_z = US.prove(ht, cs, cols, n)
+    sp_proof, r_t, shift_z = US.prove(ht, cs, dev, n, be)
     r_t_dev = F.from_int(FR, r_t)
     for name in cs.committed:
         claim("rt", name, dev[name], r_t_dev)
@@ -534,7 +694,7 @@ def prove(program_words, srs: pst13.SRS, mem_bits: int = 8,
     assert evals[("shift", "bc_addr")] == sp_proof.shift_final
 
     # 4. reduce ALL trace-domain claims to one PST13 opening
-    t_open = OA.reduce_and_prove(ht, t_claims, srs)
+    t_open = OA.reduce_and_prove(ht, t_claims, srs, **be.oa_kwargs(40))
 
     # 5. per-size batched openings of the init/final columns
     m_open = {}
@@ -542,8 +702,8 @@ def prove(program_words, srs: pst13.SRS, mem_bits: int = 8,
         for nm in m_order[s]:
             ht.absorb(evals[("if", s, nm)])
         eta = ht.challenge()
-        _, pr = pst13.batch_open(srs, [mdev[nm] for nm in m_order[s]],
-                                 F.from_int(FR, eta), rho_if[s])
+        _, pr = be.batch_open(srs, [mdev[nm] for nm in m_order[s]],
+                              F.from_int(FR, eta), rho_if[s])
         m_open[s] = pr
 
     return JoltProof(

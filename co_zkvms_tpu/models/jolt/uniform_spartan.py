@@ -390,8 +390,21 @@ def _comb_outer(polys, consts=None):
     return F.mul(FR, eq, F.sub(FR, F.mul(FR, az, bz), cz))
 
 
+def _comb_outer_shared(polys, consts=None):
+    """Rep3 outer comb: one share-mul (Az*Bz) per round evaluation; the
+    round messages are additive shares the engine masks and opens."""
+    from ...parallel import mpc
+
+    eq, az, bz, cz = polys          # eq public [h,16]; rest [3,h,16]
+    return F.mul(FR, eq[None], F.sub(FR, mpc.mul(FR, az, bz), cz))
+
+
 def _comb_mul2(polys, consts=None):
-    return F.mul(FR, polys[0], polys[1])
+    # public x (public|share) — broadcasting covers both layouts
+    a, b = polys
+    if b.ndim > a.ndim:
+        a = a[None]
+    return F.mul(FR, a, b)
 
 
 def eqplus1_table(eq_r):
@@ -416,47 +429,77 @@ def eqplus1_eval_ints(x, y):
     return total % MOD
 
 
-def prove(ht: T.HostTranscript, cs: ConstraintSystem, cols: dict,
-          n_steps: int):
-    """Run the outer zerocheck + shift sumcheck.
+def matvec_dev(cs: ConstraintSystem, dev: dict, n_steps: int, be):
+    """Az/Bz/Cz as device tables from (possibly Rep3-shared) column tables.
 
+    Row-sparse linear combinations over the committed columns; constants
+    enter via the backend (party-0 convention for shares). Layout matches
+    ``matvec``: [(3,) k_pad * T, 16], constraint-major."""
+    like = dev["bc_addr"]
+    zero_row = jnp.zeros_like(like)
+    out = []
+    for sel in range(3):
+        rows = []
+        for row in cs.rows:
+            lc = row[sel]
+            acc = zero_row
+            const = 0
+            for name, coeff in lc.items():
+                if name == "one":
+                    const = coeff
+                    continue
+                cf = F.from_int(FR, coeff % MOD)
+                acc = F.add(FR, acc,
+                            F.mul(FR, jnp.broadcast_to(cf, like.shape),
+                                  dev[name]))
+            if const:
+                acc = be.add_public_scalar(acc, const % MOD, n_steps)
+            rows.append(acc)
+        rows += [zero_row] * (cs.k_pad - len(rows))
+        out.append(jnp.concatenate(rows, axis=-2))
+    return out
+
+
+def prove(ht: T.HostTranscript, cs: ConstraintSystem, dev: dict,
+          n_steps: int, be):
+    """Run the outer zerocheck + shift sumcheck on device tables.
+
+    ``dev`` maps every committed input (plus "bc_addr_next") to its device
+    table — [T, 16] plain or [3, T, 16] Rep3 stacks, chosen by the backend.
     Returns (proof, r_t [logT ints], shift_z [logT ints]); the caller
-    appends opening claims input_i(r_t) for every committed input and
-    bc_addr(shift_z) to the batched opening accumulator.
+    appends opening claims input_i(r_t) and bc_addr(shift_z) to the batched
+    opening accumulator.
     """
     log_t = (n_steps - 1).bit_length()
     assert 1 << log_t == n_steps
     nv = log_t + (cs.k_pad - 1).bit_length()
 
-    az_i, bz_i, cz_i = matvec(cs, cols, n_steps)
-    az = F.from_int(FR, az_i)
-    bz = F.from_int(FR, bz_i)
-    cz = F.from_int(FR, cz_i)
+    az, bz, cz = matvec_dev(cs, dev, n_steps, be)
 
     tau = ht.challenges(nv)
     eq_tau = P.eq_table(FR, F.from_int(FR, tau))
     res = SC.prove(FR, ht.device_state(), [eq_tau, az, bz, cz], degree=3,
-                   comb=_comb_outer)
+                   comb=_comb_outer_shared if be.shared else _comb_outer,
+                   masks=be.sc_masks(nv, 3, 1100), shared=be.shared)
     ht.state = T.HostTranscript.from_device_state(res.state).state
-    az_v = int(F.to_int(FR, res.final_polys[1][..., 0, :]))
-    bz_v = int(F.to_int(FR, res.final_polys[2][..., 0, :]))
-    cz_v = int(F.to_int(FR, res.final_polys[3][..., 0, :]))
+    az_v = be.open_scalar(res.final_polys[1][..., 0, :])
+    bz_v = be.open_scalar(res.final_polys[2][..., 0, :])
+    cz_v = be.open_scalar(res.final_polys[3][..., 0, :])
     for v in (az_v, bz_v, cz_v):
         ht.absorb(v)
     r = [int(v) for v in F.to_int(FR, res.challenges)]
     r_t = r[:log_t]
 
     # shift sumcheck: bc_addr_next(r_t) over the step domain
-    bc_addr_tab = P.from_ints([v % MOD for v in cols["bc_addr"]])
-    bc_next_tab = P.from_ints([v % MOD for v in cols["bc_addr_next"]])
     r_t_dev = F.from_int(FR, r_t)
-    shift_claim = int(F.to_int(FR, P.evaluate(FR, bc_next_tab, r_t_dev)))
+    shift_claim = be.eval_claim(dev["bc_addr_next"], r_t_dev)
     ht.absorb(shift_claim)
     eqp1 = eqplus1_table(P.eq_table(FR, r_t_dev))
-    sres = SC.prove(FR, ht.device_state(), [eqp1, bc_addr_tab], degree=2,
-                    comb=_comb_mul2)
+    sres = SC.prove(FR, ht.device_state(), [eqp1, dev["bc_addr"]], degree=2,
+                    comb=_comb_mul2, masks=be.sc_masks(log_t, 2, 1200),
+                    shared=be.shared)
     ht.state = T.HostTranscript.from_device_state(sres.state).state
-    shift_final = int(F.to_int(FR, sres.final_polys[1][..., 0, :]))
+    shift_final = be.open_scalar(sres.final_polys[1][..., 0, :])
     ht.absorb(shift_final)
     shift_z = [int(v) for v in F.to_int(FR, sres.challenges)]
 

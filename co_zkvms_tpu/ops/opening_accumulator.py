@@ -38,7 +38,7 @@ def _comb_stacked(polys, consts=None):
     """Stacked reduction comb: claims enter as ONE [k, h, 16] tensor pair.
 
     The claim count k is a leading array dim, not unrolled XLA graph — one
-    small kernel serves any number of accumulated claims (Jolt routes ~40
+    small kernel serves any number of accumulated claims (Jolt routes ~150
     through here; an unrolled comb would recompile per k and blow up the
     graph the way the reference's per-poly appends do not).
     """
@@ -47,12 +47,29 @@ def _comb_stacked(polys, consts=None):
     return F.modsum(FR, F.mul(FR, eqs, tabs), 0)
 
 
-def reduce_and_prove(ht: T.HostTranscript, claims, srs: pst13.SRS):
-    """``claims``: list of (table [2^nv,16], point [nv,16] device, value int).
+def _comb_stacked_shared(polys, consts=None):
+    """Rep3 variant: tabs is a [3, k, h, 16] share stack, eqs stays public;
+    every product is public*share (linear), so no share-mul rounds — the
+    round messages are additive shares the engine masks and opens."""
+    del consts
+    eqs, tabs = polys
+    return F.modsum(FR, F.mul(FR, eqs[None], tabs), 1)
+
+
+def reduce_and_prove(ht: T.HostTranscript, claims, srs: pst13.SRS,
+                     shared: bool = False, masks_rng=None,
+                     mask_base: int = 0):
+    """``claims``: list of (table [2^nv,16] (or [3,2^nv,16] share stack),
+    point [nv,16] device, value int).
 
     All tables share one domain size. Absorbs values, runs the reduction
     sumcheck on-device, batch-opens at its endpoint. Returns the proof.
+    Maps Rep3ProverOpeningAccumulator::reduce_and_prove[_worker]
+    (poly/opening_proof.rs:182-291).
     """
+    from ..parallel import shares as Sh
+    from ..models import mpc_pcs
+
     k = len(claims)
     for _, _, v in claims:
         ht.absorb(v)
@@ -61,25 +78,40 @@ def reduce_and_prove(ht: T.HostTranscript, claims, srs: pst13.SRS):
 
     # pre-scale each eq table by its rho power so the kernel is a plain
     # sum_k eq_k * p_k  — rho batching costs nothing inside the rounds
+    n = claims[0][0].shape[-2]
     eqs = jnp.stack([
-        F.mul(FR, jnp.broadcast_to(rhos[i], (claims[i][0].shape[-2], F.NLIMBS)),
+        F.mul(FR, jnp.broadcast_to(rhos[i], (n, F.NLIMBS)),
               P.eq_table(FR, claims[i][1]))
         for i in range(k)
     ])
-    tabs = jnp.stack([t for t, _, _ in claims])
+    tabs = jnp.stack([t for t, _, _ in claims], axis=1 if shared else 0)
 
-    res = SC.prove(FR, ht.device_state(), [eqs, tabs], degree=2,
-                   comb=_comb_stacked)
+    masks = None
+    if shared and masks_rng is not None:
+        nv = n.bit_length() - 1
+        masks = jnp.stack([
+            masks_rng.zero_shares(FR, mask_base + j, (3,))
+            for j in range(nv)
+        ])
+    res = SC.prove(
+        FR, ht.device_state(), [eqs, tabs], degree=2,
+        comb=_comb_stacked_shared if shared else _comb_stacked,
+        masks=masks, shared=shared,
+    )
     ht.state = T.HostTranscript.from_device_state(res.state).state
     z = res.challenges
 
-    final_tabs = F.to_int(FR, res.final_polys[1][..., 0, :])  # [k]
+    finals = res.final_polys[1][..., 0, :]          # [k,16] or [3,k,16]
+    if shared:
+        finals = Sh.combine(FR, finals)
+    final_tabs = F.to_int(FR, finals)
     z_evals = []
     for i in range(k):
         z_evals.append(int(final_tabs[i]))
         ht.absorb(z_evals[i])
     eta = ht.challenge()
-    _, batch_proof = pst13.batch_open(
+    opener = mpc_pcs.batch_open_shares if shared else pst13.batch_open
+    _, batch_proof = opener(
         srs, [t for t, _, _ in claims], F.from_int(FR, eta), z
     )
     return ReducedOpeningProof(

@@ -117,3 +117,15 @@ def test_constraint_system_builds():
     for a, b, c in cs.rows:
         for lc in (a, b, c):
             assert set(lc) <= known
+
+
+@pytest.mark.slow
+def test_jolt_rep3_bit_identical(srs, proof_and_prog):
+    """Full Rep3 MPC proving of the linked zkVM: the 3-party proof is
+    bit-identical to single-party and verifies under the same verifier."""
+    proof, prog = proof_and_prog
+    proof3 = jolt.prove_rep3(prog, srs, mem_bits=4)
+    assert proof3.evals == proof.evals
+    assert proof3.comms == proof.comms
+    assert proof3 == proof
+    assert jolt.verify(proof3, prog, srs)
