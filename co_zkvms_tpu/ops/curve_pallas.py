@@ -183,6 +183,127 @@ def _double_kernel(px_ref, py_ref, pz_ref, ox_ref, oy_ref, oz_ref, mod, n0):
     _store(oz_ref, dz)
 
 
+def _bucket_accum_kernel(qx_ref, qy_ref, bx_ref, by_ref, bz_ref,
+                         ox_ref, oy_ref, oz_ref, mod, one, n0, n_rows):
+    """MSM bucket accumulation with VMEM-resident buckets.
+
+    Grid = (R,) rows of a dense (row, bucket) point layout; invalid slots
+    are zero-encoded (q == (0,0) -> infinity -> no-op in the complete mixed
+    add). Buckets live in scratch across all rows — points stream from HBM
+    exactly once and no intermediate Jacobian state ever leaves VMEM, unlike
+    the XLA while-loop path which round-trips [nw, nb] buckets per step.
+    """
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        zeros = jnp.zeros_like(bx_ref[:])
+        bx_ref[:] = zeros
+        by_ref[:] = zeros
+        bz_ref[:] = zeros
+
+    m = list(mod)
+    px, py, pz = _load(bx_ref), _load(by_ref), _load(bz_ref)
+    qx, qy = _load(qx_ref), _load(qy_ref)
+
+    z1z1 = FP._mm(pz, pz, m, n0)
+    u2 = FP._mm(qx, z1z1, m, n0)
+    s2 = FP._mm(qy, FP._mm(pz, z1z1, m, n0), m, n0)
+    h = FP._msub(u2, px, m)
+    r = FP._msub(s2, py, m)
+    h_zero = FP._mis_zero(h)
+    r_zero = FP._mis_zero(r)
+    hh = FP._mm(h, h, m, n0)
+    ii = FP._mdbl(FP._mdbl(hh, m), m)
+    j = FP._mm(h, ii, m, n0)
+    rr = FP._mdbl(r, m)
+    v = FP._mm(px, ii, m, n0)
+    x3 = FP._msub(FP._msub(FP._mm(rr, rr, m, n0), j, m), FP._mdbl(v, m), m)
+    y3 = FP._msub(
+        FP._mm(rr, FP._msub(v, x3, m), m, n0),
+        FP._mdbl(FP._mm(py, j, m, n0), m), m,
+    )
+    zh = FP._madd(pz, h, m)
+    z3 = FP._msub(FP._msub(FP._mm(zh, zh, m, n0), z1z1, m), hh, m)
+
+    dx, dy, dz = _double_limbs(px, py, pz, m, n0)
+
+    zero = [jnp.zeros_like(px[0]) for _ in range(16)]
+    onel = [jnp.full_like(px[0], o) for o in one]
+    p_inf = FP._mis_zero(pz)
+    q_inf = jnp.logical_and(FP._mis_zero(qx), FP._mis_zero(qy))
+    both = jnp.logical_and(jnp.logical_not(p_inf), jnp.logical_not(q_inf))
+    eq_case = jnp.logical_and(jnp.logical_and(h_zero, r_zero), both)
+    neg_case = jnp.logical_and(
+        jnp.logical_and(h_zero, jnp.logical_not(r_zero)), both
+    )
+
+    rx = FP._msel(eq_case, dx, x3)
+    ry = FP._msel(eq_case, dy, y3)
+    rz = FP._msel(eq_case, dz, z3)
+    rx = FP._msel(neg_case, onel, rx)
+    ry = FP._msel(neg_case, onel, ry)
+    rz = FP._msel(neg_case, zero, rz)
+    rx = FP._msel(q_inf, px, rx)
+    ry = FP._msel(q_inf, py, ry)
+    rz = FP._msel(q_inf, pz, rz)
+    fa_x = FP._msel(q_inf, onel, qx)
+    fa_y = FP._msel(q_inf, onel, qy)
+    fa_z = FP._msel(q_inf, zero, onel)
+    rx = FP._msel(p_inf, fa_x, rx)
+    ry = FP._msel(p_inf, fa_y, ry)
+    rz = FP._msel(p_inf, fa_z, rz)
+    _store(bx_ref, rx)
+    _store(by_ref, ry)
+    _store(bz_ref, rz)
+
+    @pl.when(i == n_rows - 1)
+    def _():
+        ox_ref[:] = bx_ref[:]
+        oy_ref[:] = by_ref[:]
+        oz_ref[:] = bz_ref[:]
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def bucket_accumulate(qx_grid, qy_grid, nb: int):
+    """Accumulate a dense [R, 16, nb] point grid into nb VMEM buckets.
+
+    Returns Jacobian bucket coords as three [16, nb] u32 arrays. Column b of
+    every row adds into bucket b; zero-encoded slots are skipped by the
+    complete-add infinity case.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    r_rows = qx_grid.shape[0]
+    mod, one, n0 = _consts()
+    kernel = functools.partial(
+        _bucket_accum_kernel, mod=tuple(mod), one=tuple(one), n0=n0,
+        n_rows=r_rows,
+    )
+    in_spec = pl.BlockSpec((1, 16, nb), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((16, nb), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    ox, oy, oz = pl.pallas_call(
+        lambda qx, qy, ox, oy, oz, bx, by, bz: kernel(
+            qx.at[0], qy.at[0], bx, by, bz, ox, oy, oz),
+        grid=(r_rows,),
+        in_specs=[in_spec, in_spec],
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((16, nb), jnp.uint32) for _ in range(3)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((16, nb), jnp.uint32) for _ in range(3)
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(qx_grid, qy_grid)
+    return ox, oy, oz
+
+
 def _call(kernel, n_in, args, n):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu

@@ -45,17 +45,22 @@ def _n_windows(c: int) -> int:
 def window_digits(scalars_mont, c: int):
     """Montgomery-form Fr scalars [N, 16] -> window digits [n_windows, N] u32.
 
-    c must divide 16 (digits never straddle limb boundaries).
+    Any c <= 16: a digit's bits [w*c, w*c + c) may straddle a 16-bit limb
+    boundary, in which case it is assembled from the two covering limbs.
+    (Bucket-count tuning is the main MSM perf lever — see msm() — so the
+    window size must not be quantized to divisors of the limb width.)
     """
-    assert 16 % c == 0, "window size must divide 16"
-    std = F.from_mont(FR, scalars_mont)  # [N, 16] standard-form digits
-    per_limb = 16 // c
+    assert 1 <= c <= 16
+    std = F.from_mont(FR, scalars_mont)  # [N, 16] standard-form limbs
     mask = jnp.uint32((1 << c) - 1)
     outs = []
     for w in range(_n_windows(c)):
-        limb = std[..., w // per_limb]
-        sh = jnp.uint32(c * (w % per_limb))
-        outs.append((limb >> sh) & mask)
+        bit0 = w * c
+        limb, off = bit0 // 16, bit0 % 16
+        d = std[..., limb] >> jnp.uint32(off)
+        if off + c > 16 and limb + 1 < 16:
+            d = d | (std[..., limb + 1] << jnp.uint32(16 - off))
+        outs.append(d & mask)
     return jnp.stack(outs, axis=0)
 
 
@@ -127,22 +132,288 @@ def _all_window_sums(points: APoint, digits, c: int) -> JPoint:
     return JPoint(total.x[:, 0], total.y[:, 0], total.z[:, 0])
 
 
-def msm(points: APoint, scalars_mont, c: int = 8) -> JPoint:
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _dense_grid(pts32, digits_w, c: int, r_rows: int):
+    """One window's points scattered into a dense [R, 16, nb] layout.
+
+    Row t, column b holds the t-th point of bucket b (transposed limb
+    layout for the Pallas kernel); empty slots are zero-encoded (the
+    complete add treats (0,0) as infinity).
+
+    The naive formulation — one gather of R*nb random 64 B point rows — is
+    DMA-descriptor-bound (~23 ns/row measured: 57 ms per window at 2^20,
+    dwarfing the add kernel). Instead: ONE random row gather puts the
+    points in bucket order (``pts32``: x||y limbs interleaved, so the rows
+    are 128 B — half the descriptors), and the grid is then nb contiguous
+    R-row SLICES of the sorted array (bucket b's occupants are the run
+    [first_b, first_b + count_b)), i.e. sequential DMA at memory bandwidth.
+    """
+    n = digits_w.shape[0]
+    nb = 1 << c
+    order = jnp.argsort(digits_w)
+    sorted32 = jnp.take(pts32, order, axis=0)   # the one random gather
+    sorted32 = jnp.pad(sorted32, ((0, r_rows), (0, 0)))  # slice overrun pad
+    ds = digits_w[order]
+    bucket_ids = jnp.arange(nb, dtype=digits_w.dtype)
+    first = jnp.searchsorted(ds, bucket_ids, side="left")       # [nb]
+    count = jnp.searchsorted(ds, bucket_ids, side="right") - first
+    count = count.at[0].set(0)          # bucket 0 never accumulates
+    slabs = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(sorted32, (s, 0), (r_rows, 32))
+    )(first)                                                    # [nb, R, 32]
+    valid = jnp.arange(r_rows, dtype=jnp.int32)[None, :] < count[:, None]
+    slabs = jnp.where(valid[:, :, None], slabs, 0)
+    # [nb, R, 32] -> [R, 16, nb] per coordinate
+    qx = jnp.transpose(slabs[:, :, :16], (1, 2, 0))
+    qy = jnp.transpose(slabs[:, :, 16:], (1, 2, 0))
+    return qx, qy, jnp.max(count)
+
+
+_UNROLL = 4
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _fused_group(pts32, digits_grp, c: int, r_rows: int) -> JPoint:
+    """Bucket sums for a GROUP of windows in ONE jitted program: per window,
+    dense-grid gather + VMEM-resident Pallas accumulation
+    (curve_pallas.bucket_accumulate). One launch per MSM group — unjitted
+    per-op dispatch is ruinous through this environment's TPU relay
+    (measured: the same math costs 20x more as individual dispatches).
+
+    The window loop is a lax.scan, NOT an unrolled Python loop: each
+    window's dense grid is an R * 2^c point slab (~150 MB at c=10/2^20) and
+    XLA keeps unrolled iterations' temporaries alive concurrently — 18 GB of
+    HBM at c=10 (measured OOM). The scan bounds live grid memory to one
+    window.
+
+    Latency hiding: one accumulator chain per bucket makes every kernel
+    step a serial dependency (measured ~3x off the flat field-mul rate).
+    Each bucket therefore gets U sub-accumulators — grid rows r=0..R-1 fold
+    into kernel row r//U, lane slot (r%U)*nb + b — giving the VPU U
+    independent add chains to interleave; a log2(U) tree of batched adds
+    folds the sub-buckets afterwards."""
+    from . import curve_pallas as CP
+
+    nb = 1 << c
+    # cap total kernel lanes at 4096: the complete-add's ~10 live limb
+    # vectors put VMEM at ~2.6 MB + buckets + double-buffered IO; 16k lanes
+    # measured-OOMs the c=12 kernel
+    u = min(_UNROLL, max(1, 4096 // nb))
+    r_eff = ((r_rows + u - 1) // u) * u
+
+    def body(_, digits_w):
+        qx, qy, _occ = _dense_grid(pts32, digits_w, c, r_eff)
+        # [R, 16, nb] -> [R/u, 16, u*nb]: sub-accumulator lanes
+        qx = qx.reshape(r_eff // u, u, 16, nb).transpose(0, 2, 1, 3)
+        qy = qy.reshape(r_eff // u, u, 16, nb).transpose(0, 2, 1, 3)
+        qx = qx.reshape(r_eff // u, 16, u * nb)
+        qy = qy.reshape(r_eff // u, 16, u * nb)
+        ox, oy, oz = CP.bucket_accumulate(qx, qy, u * nb)
+        sub = JPoint(ox.T.reshape(u, nb, -1), oy.T.reshape(u, nb, -1),
+                     oz.T.reshape(u, nb, -1))
+        while sub.x.shape[0] > 1:
+            half = sub.x.shape[0] // 2
+            a = jax.tree.map(lambda t: t[:half], sub)
+            b = jax.tree.map(lambda t: t[half:], sub)
+            sub = C.add(a, b)
+        return 0, (sub.x[0], sub.y[0], sub.z[0])
+
+    _, (bx, by, bz) = jax.lax.scan(body, 0, digits_grp)
+    return JPoint(bx, by, bz)  # [g, nb]
+
+
+def _window_sums_fused(points: APoint, digits, c: int, occs) -> JPoint:
+    """All-window bucket sums with occupancy-grouped grids.
+
+    The top window's digits span far fewer than c bits (254 = 8*31+6 for
+    Fr), so its occupancy is ~4x the others — giving it its own grid depth
+    keeps total work near the ideal nw*N adds instead of nw*R_max*nb.
+    ``occs``: host list of per-window max occupancies.
+    """
+    nw = digits.shape[0]
+
+    def _quant(r):
+        """Round the grid depth up to 2 significant bits: bounds the number
+        of distinct compiled shapes (static r_rows) at <= 25% extra rows."""
+        if r <= 8:
+            return 8
+        step = 1 << (r.bit_length() - 3)
+        return ((r + step - 1) // step) * step
+
+    r_low = _quant(max(max(occs[: nw - 1]), 1))
+    pts32 = jnp.concatenate([points.x, points.y], axis=-1)  # 128 B rows
+    low = _fused_group(pts32, digits[: nw - 1], c, r_low)
+    # The TOP window spans only the leftover scalar bits: its digits fit in
+    # 2^top_bits buckets but its occupancy is 2^(c-top_bits) times higher —
+    # a full-width dense grid for it would be R_top * 2^c points (6 GB at
+    # c=10/2^20, measured OOM). Instead split its points into K groups
+    # (K = 2^(c-top_bits)): each group accumulates into its own 2^top_bits
+    # buckets — restoring both the grid volume (~N slots total) and the
+    # kernel's lane utilization — and a log K tree of batched adds merges
+    # the groups' buckets.
+    top_bits = max(1, SCALAR_BITS - (nw - 1) * c)
+    nb = 1 << c
+    n_pts = digits.shape[1]
+    k_split = max(1, min(nb >> top_bits, n_pts & (-n_pts)))
+    nb_top = 1 << top_bits
+    if k_split == 1:
+        top = _fused_group(pts32, digits[nw - 1 :], c,
+                           _quant(max(occs[nw - 1], 1)))
+    else:
+        # spread the top window across k groups by folding the group index
+        # into the digit: group g's digit d -> combined bucket g*nb_top + d
+        # (digit 0 stays at global bucket 0, which the grid skips). This
+        # reuses the full-width kernel AT THE LOW WINDOWS' SHAPE — same
+        # compiled program, full lane utilization, ~N grid slots — then a
+        # log(k) tree of width-nb_top batched adds folds the group ranges.
+        group = jnp.arange(n_pts, dtype=jnp.uint32) // jnp.uint32(
+            n_pts // k_split)
+        dtop = digits[nw - 1]
+        dig2 = jnp.where(dtop == 0, 0, dtop + group * jnp.uint32(nb_top))
+        kb = (k_split * nb_top).bit_length() - 1
+        occ2 = int(jax.device_get(jnp.max(_occupancies(dig2[None], kb))))
+        comb = _fused_group(pts32, dig2[None],
+                            kb, _quant(max(occ2, 1)))   # [1, k*nb_top]
+        cur = JPoint(comb.x.reshape(k_split, nb_top, -1),
+                     comb.y.reshape(k_split, nb_top, -1),
+                     comb.z.reshape(k_split, nb_top, -1))
+        while cur.x.shape[0] > 1:
+            half = cur.x.shape[0] // 2
+            a = jax.tree.map(lambda t: t[:half], cur)
+            b = jax.tree.map(lambda t: t[half:], cur)
+            cur = C.add(a, b)
+        top = cur                                       # [1, nb_top]
+    pad = nb - top.x.shape[1]
+    if pad:
+        top = JPoint(
+            jnp.pad(top.x, ((0, 0), (0, pad), (0, 0))),
+            jnp.pad(top.y, ((0, 0), (0, pad), (0, 0))),
+            jnp.pad(top.z, ((0, 0), (0, pad), (0, 0))),
+        )
+    buckets = JPoint(
+        jnp.concatenate([low.x, top.x]),
+        jnp.concatenate([low.y, top.y]),
+        jnp.concatenate([low.z, top.z]),
+    )
+    return _weighted_sum_jit(buckets, c)
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def _weighted_sum_jit(buckets: JPoint, c: int) -> JPoint:
+    return _weighted_bucket_sum(buckets, c)
+
+
+def _weighted_bucket_sum(buckets: JPoint, c: int) -> JPoint:
+    """sum_b b * S_b per window via double suffix scan (see module doc)."""
+    nw, nb = buckets.x.shape[0], buckets.x.shape[1]
+
+    def _suffix_fold(t):
+        inf = C.infinity((nw, nb))
+        pos = jnp.arange(nb, dtype=jnp.int32)[None, :]
+
+        def level(l, t):
+            s = jnp.left_shift(jnp.int32(1), l)
+            idx = jnp.broadcast_to(jnp.clip(pos + s, 0, nb - 1), (nw, nb))
+            valid = jnp.broadcast_to(pos + s < nb, (nw, nb))
+            partner = JPoint(
+                jnp.take_along_axis(t.x, idx[..., None], axis=1),
+                jnp.take_along_axis(t.y, idx[..., None], axis=1),
+                jnp.take_along_axis(t.z, idx[..., None], axis=1),
+            )
+            partner = jax.tree.map(
+                lambda a, b: F._select(valid, a, b), partner, inf
+            )
+            return C.add(t, partner)
+
+        return jax.lax.fori_loop(0, c, level, t)
+
+    t = _suffix_fold(buckets)
+    t = jax.tree.map(
+        lambda a, b: a.at[:, 0].set(b[:, 0]), t, C.infinity((nw, nb))
+    )
+    total = _suffix_fold(t)
+    return JPoint(total.x[:, 0], total.y[:, 0], total.z[:, 0])
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def _occupancies(digits, c: int):
+    """Per-window max bucket count (bucket 0 excluded)."""
+    nb = 1 << c
+    counts = jax.vmap(
+        lambda row: jnp.zeros((nb,), jnp.int32).at[row].add(1)
+    )(digits)
+    counts = counts.at[:, 0].set(0)
+    return jnp.max(counts, axis=1)
+
+
+def _max_occupancy(digits, c: int) -> int:
+    return int(jax.device_get(jnp.max(_occupancies(digits, c))))
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _horner_windows(sums: JPoint, c: int, nw: int) -> JPoint:
+    """Combine per-window sums: acc = sum_w 2^(c*w) * S_w, Horner order —
+    ONE jitted program, but compile-bounded: a lax.scan over windows whose
+    body is c doublings + 1 add (doubling infinity stays at infinity, so no
+    first-iteration special case). One launch instead of ~nw*(c+1) per-op
+    dispatches (ruinous through the TPU relay), with an HLO ~nw x smaller
+    than inlining the whole ladder."""
+
+    def body(acc, s):
+        for _ in range(c):
+            acc = C.double(acc)
+        acc = C.add(acc, JPoint(s.x[None], s.y[None], s.z[None]))
+        return acc, None
+
+    rev = JPoint(jnp.flip(sums.x, 0), jnp.flip(sums.y, 0),
+                 jnp.flip(sums.z, 0))
+    acc, _ = jax.lax.scan(body, C.infinity((1,)), rev)
+    return acc
+
+
+def _auto_c(n: int) -> int:
+    """Window size balancing lane volume vs sequential steps.
+
+    The batched-bucket cost model is nw*nb*(occupancy + 2c) lane point-adds
+    (occupancy ~ n/nb): small MSMs must shrink the bucket grid or a 16-point
+    commit pays the full [nw, 2^c] machinery (measured 8 s/commit on CPU at
+    c=8 — the round-2 test-suite wall). TPU keeps larger windows: the fused
+    VMEM kernel amortizes bucket state and wins from fewer windows.
+    """
+    log2n = max(n.bit_length() - 1, 1)
+    if jax.default_backend() == "tpu":
+        return min(12, max(8, log2n - 8))
+    return max(2, min(8, log2n // 2))
+
+
+def msm(points: APoint, scalars_mont, c: int | None = None) -> JPoint:
     """Variable-base MSM: sum_i scalars[i] * points[i]. Returns batch-1 JPoint.
 
     ``points``: affine batch [N]; ``scalars_mont``: Fr Montgomery [N, 16].
+    ``c``: Pippenger window bits (None = size to N via _auto_c; the result
+    is identical for any c). On TPU, near-uniform digit distributions take
+    the fused bucket kernel (buckets resident in VMEM, points streamed once
+    per window, occupancy-grouped grid depths); pathologically skewed ones
+    (e.g. counter polynomials, where one bucket swallows most points) fall
+    back to the batched while-loop whose step count is max occupancy.
     """
+    n = points.x.shape[0]
+    if c is None:
+        c = _auto_c(n)
     nw = _n_windows(c)
     digits = window_digits(scalars_mont, c)
-    sums = _all_window_sums(points, digits, c)  # JPoint [nw]
-    acc = C.infinity((1,))
-    for w in reversed(range(nw)):
-        if w != nw - 1:
-            for _ in range(c):
-                acc = C.double(acc)
-        acc = C.add(acc, JPoint(sums.x[w : w + 1], sums.y[w : w + 1],
-                                sums.z[w : w + 1]))
-    return acc
+    use_fused = jax.default_backend() == "tpu" and n >= (1 << (c + 2))
+    if use_fused:
+        nb = 1 << c
+        occs = [int(v) for v in jax.device_get(_occupancies(digits, c))]
+        # dense-grid memory is R*nb points per window; cap the waste
+        if max(occs[: nw - 1]) <= max(4, (4 * n) // nb):
+            sums = _window_sums_fused(points, digits, c, occs)
+        else:
+            use_fused = False
+    if not use_fused:
+        sums = _all_window_sums(points, digits, c)  # JPoint [nw]
+    return _horner_windows(sums, c, nw)
 
 
 # --- fixed-base MSM (SRS generation: one base, many scalars) ---------------

@@ -94,3 +94,39 @@ def test_fixed_base_msm(rng):
     got = C.points_to_ints(C.to_affine(M.fixed_base_msm(db, ds, c=8)))
     want = [bn.g1_coords(bn.scalar_mul(base, s)) for s in scalars]
     assert got == want
+
+
+import jax as _jax
+
+
+@pytest.mark.skipif(_jax.default_backend() != "tpu",
+                    reason="pallas interpret mode is impractically slow on "
+                           "CPU; the kernel is validated bit-exactly vs the "
+                           "while-loop path on real TPU (.claude notes)")
+def test_fused_bucket_path(rng):
+    """Fused VMEM bucket kernel == while-loop path (TPU only)."""
+    c, n = 4, 24
+    pts = ref_points(rng, n)
+    scalars = [rng.randrange(bn.R_ORDER) for _ in range(n)]
+    scalars[3] = 0
+    dp = to_device(pts)
+    ds = F.from_int(F.FR, scalars)
+    digits = M.window_digits(ds, c)
+    occs = [int(v) for v in _jax.device_get(M._occupancies(digits, c))]
+    fused = M._window_sums_fused(dp, digits, c, occs)
+    base = M._all_window_sums(dp, digits, c)
+    got = C.points_to_ints(C.to_affine(fused))
+    want = C.points_to_ints(C.to_affine(base))
+    assert got == want
+
+
+def test_window_digits_straddle(rng):
+    """Digits assembled across 16-bit limb boundaries (c not dividing 16)
+    match the integer definition."""
+    scalars = [rng.randrange(bn.R_ORDER) for _ in range(5)]
+    sm = F.from_int(F.FR, scalars)
+    for c in (7, 10, 12, 16):
+        digits = _jax.device_get(M.window_digits(sm, c))
+        for i, s in enumerate(scalars):
+            for w in range(digits.shape[0]):
+                assert int(digits[w, i]) == (s >> (w * c)) & ((1 << c) - 1)
