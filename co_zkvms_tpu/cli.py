@@ -84,7 +84,8 @@ def cmd_prove(args):
         if args.rep3:
             proof = co_spartan.prove_rep3(index, srs, z)
         else:
-            proof = spartan.prove(index, srs, z, dfs=dfs)
+            proof = spartan.prove(index, srs, z, dfs=dfs,
+                                  ckpt=args.checkpoint_dir or None)
     ser.dump(proof, args.out)
     tracer.report()
     if args.chrome_trace:
@@ -135,6 +136,9 @@ def main(argv=None):
     pp.add_argument("--rep3", action="store_true")
     pp.add_argument("--out", default="proof.json.gz")
     pp.add_argument("--chrome-trace", default="")
+    pp.add_argument("--checkpoint-dir", default="",
+                    help="journal proof phases here; a preempted prove "
+                         "resumes from the last completed phase")
     pp.set_defaults(fn=cmd_prove)
 
     pv = sub.add_parser("verify")

@@ -106,7 +106,7 @@ def _msgs_to_ints(round_msgs):
 
 
 def prove(index: SpartanIndex, srs: pst13.SRS, z_ints, dfs=None,
-          zk_ctx=None) -> SpartanProof:
+          zk_ctx=None, ckpt=None) -> SpartanProof:
     """Prove knowledge of a satisfying z (public witness path).
 
     ``z_ints``: full wire assignment (unpadded). The io region is public;
@@ -116,8 +116,28 @@ def prove(index: SpartanIndex, srs: pst13.SRS, z_ints, dfs=None,
     zero-knowledge proof: masked sumcheck round messages (committed mask
     polynomials opened at the endpoints) and a hiding, re-randomized
     witness commitment/opening. Maps spartan/src/zk.rs.
+
+    ``ckpt``: optional checkpoint directory (or Checkpointer) — journal
+    each phase so a preempted proof resumes instead of restarting
+    (utils/checkpoint.py; the reference has no mid-proof recovery). The
+    journal is keyed by a statement+witness digest, so a changed input
+    starts fresh. Mutually exclusive with ``zk_ctx`` (the zk host-rng
+    stream cannot skip phases).
     """
     from ..ops import zk as ZK
+    from ..utils import checkpoint as CK
+
+    if ckpt is not None and zk_ctx is not None:
+        raise ValueError("checkpointing is not supported with zk_ctx")
+    if isinstance(ckpt, CK.Checkpointer):
+        ck = ckpt
+    elif ckpt is not None:
+        digest = CK.statement_digest(
+            "spartan.prove", index.nv, len(z_ints),
+            tuple(z_ints[:4]), sum(z_ints) % MOD, dfs is not None)
+        ck = CK.Checkpointer(ckpt, digest, registry=_ckpt_registry())
+    else:
+        ck = CK.Checkpointer.disabled()
 
     r1cs = index.r1cs
     nv = index.nv
@@ -134,7 +154,7 @@ def prove(index: SpartanIndex, srs: pst13.SRS, z_ints, dfs=None,
         w_blinder = zk_rng.randrange(MOD)
         w_comm = ZK.hide_commit(srs, zk_params, w_table, w_blinder)
     else:
-        w_comm = pst13.commit(srs, w_table)
+        w_comm = ck.phase("commit", lambda: pst13.commit(srs, w_table))
     ht = T.HostTranscript(LABEL)
     ht.absorb_point(w_comm.xy)
 
@@ -153,12 +173,15 @@ def prove(index: SpartanIndex, srs: pst13.SRS, z_ints, dfs=None,
     state, taus = T.challenge_fes(state, nv)
 
     # Az, Bz, Cz and first sumcheck
-    eq_tau = P.eq_table(FR, taus)
-    az = index.da.mul_vec(z_table)
-    bz = index.db.mul_vec(z_table)
-    cz = index.dc.mul_vec(z_table)
-    res1 = SC.prove(FR, state, [eq_tau, az, bz, cz], degree=3, comb=_comb1,
-                    zk_mask=zk1)
+    def _phase_sc1():
+        eq_tau = P.eq_table(FR, taus)
+        az = index.da.mul_vec(z_table)
+        bz = index.db.mul_vec(z_table)
+        cz = index.dc.mul_vec(z_table)
+        return SC.prove(FR, state, [eq_tau, az, bz, cz], degree=3,
+                        comb=_comb1, zk_mask=zk1)
+
+    res1 = ck.phase("sumcheck1", _phase_sc1)
     rx = res1.challenges
     va = res1.final_polys[1][0]
     vb = res1.final_polys[2][0]
@@ -177,10 +200,14 @@ def prove(index: SpartanIndex, srs: pst13.SRS, z_ints, dfs=None,
     state, rabc = T.challenge_fes(state, 3)
 
     # M_rx(y) table and second sumcheck
-    eq_rx = P.eq_table(FR, rx)
-    m_rx = index.da.weighted_col_table(F.mul(FR, eq_rx, rabc[0]))
-    m_rx = F.add(FR, m_rx, index.db.weighted_col_table(F.mul(FR, eq_rx, rabc[1])))
-    m_rx = F.add(FR, m_rx, index.dc.weighted_col_table(F.mul(FR, eq_rx, rabc[2])))
+    def _m_rx_table():
+        eq_rx = P.eq_table(FR, rx)
+        t = index.da.weighted_col_table(F.mul(FR, eq_rx, rabc[0]))
+        t = F.add(FR, t, index.db.weighted_col_table(F.mul(FR, eq_rx,
+                                                           rabc[1])))
+        return F.add(FR, t, index.dc.weighted_col_table(F.mul(FR, eq_rx,
+                                                              rabc[2])))
+
     if zk_ctx is not None:
         g2_coeffs, g2_dev = ZK.generate_mask(zk_rng, nv, 2)
         g2_comms = ZK.commit_mask(zk_params, g2_coeffs)
@@ -193,8 +220,11 @@ def prove(index: SpartanIndex, srs: pst13.SRS, z_ints, dfs=None,
         zk2 = (F.from_int(FR, rho2), g2_dev)
         state = ht2a.device_state()
 
-    res2 = SC.prove(FR, state, [m_rx, z_table], degree=2, comb=_comb2,
-                    zk_mask=zk2)
+    res2 = ck.phase(
+        "sumcheck2",
+        lambda: SC.prove(FR, state, [_m_rx_table(), z_table], degree=2,
+                         comb=_comb2, zk_mask=zk2),
+    )
     ry = res2.challenges
     val_m = int(F.to_int(FR, res2.final_polys[0][0]))
 
@@ -215,7 +245,8 @@ def prove(index: SpartanIndex, srs: pst13.SRS, z_ints, dfs=None,
             g2_vals=g2_vals, g2_proofs=g2_proofs, w_hiding=w_hiding,
         )
     else:
-        w_eval, w_proof = pst13.open_at(srs, w_table, ry)
+        w_eval, w_proof = ck.phase(
+            "opening", lambda: pst13.open_at(srs, w_table, ry))
 
     if dfs is not None:
         from . import spartan_dfs
@@ -223,8 +254,10 @@ def prove(index: SpartanIndex, srs: pst13.SRS, z_ints, dfs=None,
         ht2 = T.HostTranscript.from_device_state(res2.state)
         ht2.absorb(w_eval)
         ht2.absorb(val_m)
-        dfs_proof = spartan_dfs.prove_round4(
-            dfs, srs, ht2, rx, ry, rabc, res2.challenges
+        dfs_proof = ck.phase(
+            "dfs",
+            lambda: spartan_dfs.prove_round4(dfs, srs, ht2, rx, ry, rabc,
+                                             res2.challenges),
         )
     else:
         dfs_proof = None
@@ -242,6 +275,18 @@ def prove(index: SpartanIndex, srs: pst13.SRS, z_ints, dfs=None,
         dfs=dfs_proof,
         zk=zk_data,
     )
+
+
+def _ckpt_registry():
+    """NamedTuple classes the checkpoint decoder may encounter."""
+    from . import spartan_dfs
+
+    return {
+        "Commitment": pst13.Commitment,
+        "OpeningProof": pst13.OpeningProof,
+        "SumcheckResult": SC.SumcheckResult,
+        "DFSRoundProof": spartan_dfs.DFSRoundProof,
+    }
 
 
 def _eq_eval_ints(r, s):
