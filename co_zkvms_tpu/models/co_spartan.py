@@ -83,6 +83,7 @@ def prove_rep3(
     mask_key=None,
     mesh=None,
     dfs=None,
+    zk_ctx=None,
 ) -> SpartanProof:
     """3-party MPC Spartan prove (in-process simulation of all parties).
 
@@ -91,7 +92,19 @@ def prove_rep3(
     P("party", "chunk") and every protocol op runs GSPMD-sharded; the chunk
     axis is the reference's worker axis (split_poly), the party axis its
     Rep3 ring.
+
+    ``zk_ctx``: optional (zk.ZkParams, random.Random) — zero-knowledge MPC
+    proof. The zk machinery is coordinator-side throughout (matching the
+    reference, where masks live with the coordinator —
+    co-spartan/src/coordinator.rs:184-228,593-745): the witness commitment is
+    hidden by adding blinder*g^beta to the COMBINED share commitment, round
+    messages gain the committed mask polynomial's closed-form contribution
+    after the party-sum opening, and the combined opening proof is
+    re-randomized — no step materializes the witness. The proof is
+    bit-identical to the single-party zk proof for the same zk rng stream.
     """
+    from ..ops import zk as ZK
+
     nv = index.nv
     share_key = share_key if share_key is not None else jax.random.key(0)
     mask_key = mask_key if mask_key is not None else jax.random.key(1)
@@ -105,10 +118,26 @@ def prove_rep3(
         z_shares = jax.device_put(z_shares, spec)
         w_shares = jax.device_put(w_shares, spec)
     crng = CorrelatedRng.create(mask_key)
+    zk_params, zk_rng = zk_ctx if zk_ctx is not None else (None, None)
 
     w_comm = _commit_shares(srs, w_shares)
+    if zk_ctx is not None:
+        w_blinder = zk_rng.randrange(MOD)
+        w_comm = ZK.hide_commitment(zk_params, w_comm, w_blinder)
     ht = T.HostTranscript(LABEL)
     ht.absorb_point(w_comm.xy)
+
+    zk1 = zk2 = None
+    if zk_ctx is not None:
+        g1_coeffs, g1_dev = ZK.generate_mask(zk_rng, nv, 3)
+        g1_comms = ZK.commit_mask(zk_params, g1_coeffs)
+        g1_sum = ZK.mask_sum_ints(g1_coeffs)
+        for cm in g1_comms:
+            ht.absorb_point(cm)
+        ht.absorb(g1_sum)
+        rho1 = ht.challenge()
+        zk1 = (F.from_int(FR, rho1), g1_dev)
+
     state = ht.device_state()
     state, taus = T.challenge_fes(state, nv)
 
@@ -126,19 +155,41 @@ def prove_rep3(
         comb=_comb1_shared,
         masks=masks1,
         shared=True,
+        zk_mask=zk1,
     )
     rx = res1.challenges
     va = S.combine(FR, res1.final_polys[1])[0]
     vb = S.combine(FR, res1.final_polys[2])[0]
     vc = S.combine(FR, res1.final_polys[3])[0]
 
-    state = T.absorb_fes(FR, res1.state, jnp.stack([va, vb, vc]))
+    state = res1.state
+    g1_vals = g1_proofs = None
+    if zk_ctx is not None:
+        ht1 = T.HostTranscript.from_device_state(state)
+        rx_ints = [int(v) for v in F.to_int(FR, rx)]
+        g1_vals, g1_proofs = ZK.open_mask(zk_params, g1_coeffs, rx_ints)
+        ht1.absorb_many(g1_vals)
+        state = ht1.device_state()
+
+    state = T.absorb_fes(FR, state, jnp.stack([va, vb, vc]))
     state, rabc = T.challenge_fes(state, 3)
 
     eq_rx = P.eq_table(FR, rx)
     m_rx = index.da.weighted_col_table(F.mul(FR, eq_rx, rabc[0]))
     m_rx = F.add(FR, m_rx, index.db.weighted_col_table(F.mul(FR, eq_rx, rabc[1])))
     m_rx = F.add(FR, m_rx, index.dc.weighted_col_table(F.mul(FR, eq_rx, rabc[2])))
+
+    if zk_ctx is not None:
+        g2_coeffs, g2_dev = ZK.generate_mask(zk_rng, nv, 2)
+        g2_comms = ZK.commit_mask(zk_params, g2_coeffs)
+        g2_sum = ZK.mask_sum_ints(g2_coeffs)
+        ht2a = T.HostTranscript.from_device_state(state)
+        for cm in g2_comms:
+            ht2a.absorb_point(cm)
+        ht2a.absorb(g2_sum)
+        rho2 = ht2a.challenge()
+        zk2 = (F.from_int(FR, rho2), g2_dev)
+        state = ht2a.device_state()
 
     masks2 = jnp.stack([crng.zero_shares(FR, 1000 + j, (3,)) for j in range(nv)])
     res2 = SC.prove(
@@ -149,11 +200,33 @@ def prove_rep3(
         comb=_comb2_shared,
         masks=masks2,
         shared=True,
+        zk_mask=zk2,
     )
     ry = res2.challenges
     val_m = int(F.to_int(FR, res2.final_polys[0][0]))
 
-    w_eval, w_proof = _open_shares(srs, w_shares, ry)
+    zk_data = None
+    if zk_ctx is not None:
+        from .spartan import ZkData
+
+        ry_ints = [int(v) for v in F.to_int(FR, ry)]
+        g2_vals, g2_proofs = ZK.open_mask(zk_params, g2_coeffs, ry_ints)
+        htf = T.HostTranscript.from_device_state(res2.state)
+        htf.absorb_many(g2_vals)
+        res2 = res2._replace(state=htf.device_state())
+        # MPC hiding open: combine the party proof shares, then re-randomize
+        # the COMBINED proof — the witness never exists in one place
+        w_eval, base_proof = _open_shares(srs, w_shares, ry)
+        w_hiding = ZK.hide_proof(srs, zk_params, base_proof, ry_ints,
+                                 w_blinder, zk_rng)
+        w_proof = None
+        zk_data = ZkData(
+            g1_comms=g1_comms, g1_sum=g1_sum, g1_vals=g1_vals,
+            g1_proofs=g1_proofs, g2_comms=g2_comms, g2_sum=g2_sum,
+            g2_vals=g2_vals, g2_proofs=g2_proofs, w_hiding=w_hiding,
+        )
+    else:
+        w_eval, w_proof = _open_shares(srs, w_shares, ry)
 
     # succinct round 4 (Spark-logup over the committed index) runs on PUBLIC
     # data, so the MPC path reuses the single-party DFS prover verbatim —
@@ -182,6 +255,7 @@ def prove_rep3(
         val_m=val_m,
         w_proof=w_proof,
         dfs=dfs_proof,
+        zk=zk_data,
     )
 
 

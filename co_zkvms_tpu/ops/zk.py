@@ -164,21 +164,28 @@ class HidingProof(NamedTuple):
     pi_beta: tuple          # (x, y) compensation element
 
 
-def hide_commit(srs: pst13.SRS, params: ZkParams, table, blinder: int):
-    """C' = PST13(table) + blinder * g^beta — perfectly hiding."""
-    base = pst13.commit(srs, table)
-    pt = bn.add(bn.g1_from_coords(base.xy),
+def hide_commitment(params: ZkParams, comm: pst13.Commitment, blinder: int):
+    """C' = C + blinder * g^beta — the coordinator-side hiding step. Works on
+    an already-combined commitment, so the MPC path (commitment = G1 sum of 3
+    party share commitments) hides WITHOUT any party materializing the value
+    (maps the coordinator's mask add, co-spartan/src/coordinator.rs:184-228)."""
+    pt = bn.add(bn.g1_from_coords(comm.xy),
                 bn.scalar_mul(params.g_beta_pows[1], blinder % MOD))
     return pst13.Commitment(xy=bn.g1_coords(pt))
 
 
-def hide_open(srs: pst13.SRS, params: ZkParams, table, point_mont,
-              blinder: int, rng: random.Random):
-    """Blinded opening: every quotient commitment gains s_k g^beta and
-    pi_beta = (blinder - sum_k s_k (tau_k - z_k)) g, computed in the
-    exponent from the SRS's g^{tau_k} points (no trapdoor needed)."""
-    value, base_proof = pst13.open_at(srs, table, point_mont)
-    z_ints = _point_ints(point_mont)
+def hide_commit(srs: pst13.SRS, params: ZkParams, table, blinder: int):
+    """C' = PST13(table) + blinder * g^beta — perfectly hiding."""
+    return hide_commitment(params, pst13.commit(srs, table), blinder)
+
+
+def hide_proof(srs: pst13.SRS, params: ZkParams, base_proof, z_ints,
+               blinder: int, rng: random.Random) -> HidingProof:
+    """Re-randomize a base PST13 opening proof: every quotient commitment
+    gains s_k g^beta and pi_beta = (blinder - sum_k s_k (tau_k - z_k)) g,
+    computed in the exponent from the SRS's g^{tau_k} points (no trapdoor
+    needed). Coordinator-side: composes with proofs that are G1 sums of
+    party proof shares (the MPC opening path)."""
     nv = len(base_proof.pis)
     lvl = srs.nv - nv          # same level convention as pst13.verify
     ss = [rng.randrange(MOD) for _ in range(nv)]
@@ -193,7 +200,15 @@ def hide_open(srs: pst13.SRS, params: ZkParams, table, point_mont,
         term = bn.add(params.g_taus[lvl + k],
                       bn.neg_pt(bn.scalar_mul(bn.G1_GEN, z_ints[k])))
         acc = bn.add(acc, bn.neg_pt(bn.scalar_mul(term, ss[k])))
-    return value, HidingProof(pis=tuple(pis), pi_beta=bn.g1_coords(acc))
+    return HidingProof(pis=tuple(pis), pi_beta=bn.g1_coords(acc))
+
+
+def hide_open(srs: pst13.SRS, params: ZkParams, table, point_mont,
+              blinder: int, rng: random.Random):
+    """Blinded opening of a plaintext table (single-party path)."""
+    value, base_proof = pst13.open_at(srs, table, point_mont)
+    z_ints = _point_ints(point_mont)
+    return value, hide_proof(srs, params, base_proof, z_ints, blinder, rng)
 
 
 def _point_ints(point_mont):

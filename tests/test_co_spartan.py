@@ -70,3 +70,34 @@ def test_co_spartan_succinct_round4():
     assert mpc_proof == single
     assert mpc_proof.dfs is not None
     assert spartan.verify(index, srs, [35], mpc_proof, dfs_vk=dfs.vk)
+
+
+def test_co_spartan_zk_matches_single_party(setup):
+    """MPC + ZK: the coordinator-side zk machinery (hiding commitment over
+    the COMBINED share commitment, closed-form mask injection after the
+    party-sum opening, re-randomized combined opening proof) yields a proof
+    bit-identical to the single-party zk proof for the same zk rng stream —
+    and no step materializes the witness."""
+    import random
+
+    from co_zkvms_tpu.ops import zk as ZK
+
+    index, srs, z = setup
+    params = ZK.from_seed(srs.nv, seed=2, max_deg=4)
+
+    single = spartan.prove(index, srs, z, zk_ctx=(params, random.Random(5)))
+    mpc_proof = co_spartan.prove_rep3(
+        index, srs, z, zk_ctx=(params, random.Random(5)))
+    assert mpc_proof == single
+    assert spartan.verify(index, srs, [35], mpc_proof, zk_params=params)
+    # different share/mask keys still yield the same (zk) proof: MPC
+    # randomness cancels, zk randomness comes only from the zk rng stream
+    mpc2 = co_spartan.prove_rep3(
+        index, srs, z, share_key=jax.random.key(81),
+        mask_key=jax.random.key(82), zk_ctx=(params, random.Random(5)))
+    assert mpc2 == mpc_proof
+    # and a different zk stream re-randomizes the proof (hiding)
+    mpc3 = co_spartan.prove_rep3(
+        index, srs, z, zk_ctx=(params, random.Random(6)))
+    assert mpc3.w_commitment != mpc_proof.w_commitment
+    assert spartan.verify(index, srs, [35], mpc3, zk_params=params)
