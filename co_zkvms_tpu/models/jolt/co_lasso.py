@@ -128,7 +128,9 @@ def prove_rep3(wit_shared: lasso.LassoWitness, srs: pst13.SRS,
         [crng.zero_shares(FR, 5000 + j, (degree + 1,)) for j in range(log_n)]
     )
     res = SC.prove(FR, ht.device_state(), polys, degree=degree, comb=comb,
-                   consts=mono_consts, masks=masks, shared=True)
+                   consts=mono_consts, masks=masks, shared=True,
+                   round_consts=[(crng.key_data, jnp.uint32(40_000 + j))
+                                 for j in range(log_n)])
     ht.state = T.HostTranscript.from_device_state(res.state).state
     r_z = res.challenges
 

@@ -81,8 +81,14 @@ class SharedDeviceOps:
 
     one = None  # set lazily (F.ones_mont at import order safety)
 
-    def __init__(self):
+    def __init__(self, crng=None, mask_base=0):
         self.one = F.ones_mont(FR)
+        # optional correlated rng: every share-by-share product gets a fresh
+        # zero-share mask before the implicit reshare (these muls run eagerly
+        # during witness gen, so a host-side counter gives per-call freshness
+        # — rep3/arithmetic.rs:51-105 behavior)
+        self.crng = crng
+        self._mask_ctr = mask_base
 
     @staticmethod
     def _shared(x):
@@ -100,7 +106,12 @@ class SharedDeviceOps:
         from ...parallel import mpc
 
         if self._shared(a) and self._shared(b):
-            return mpc.mul(FR, a, b)
+            mask = None
+            if self.crng is not None:
+                self._mask_ctr += 1
+                mask = self.crng.zero_shares(FR, self._mask_ctr,
+                                             a.shape[1:-1])
+            return mpc.mul(FR, a, b, zero_mask=mask)
         return F.mul(FR, a, b)
 
     def add(self, a, b):

@@ -391,6 +391,9 @@ class PlainBackend:
     def sc_masks(self, nv, degree, tag):
         return None
 
+    def mul_mask_consts(self, nv, tag):
+        return None
+
     def gp_kwargs(self, tag):
         return {}
 
@@ -469,6 +472,13 @@ class Rep3Backend:
             self.crng.zero_shares(FR, 100_000 * tag + j, (degree + 1,))
             for j in range(nv)
         ])
+
+    def mul_mask_consts(self, nv, tag):
+        """Per-round (key_data, counter) feeding fresh mul-chain reshare
+        masks inside a shared collation comb (lasso._monomial_comb_factory)."""
+        return [(self.crng.key_data,
+                 jnp.uint32(100_000 * tag + 50_000 + j))
+                for j in range(nv)]
 
     def gp_kwargs(self, tag):
         return {"shared": True, "masks_rng": self.crng,
@@ -593,7 +603,8 @@ def _prove_impl(be, program_words, srs, mem_bits, max_steps, memory,
                                              shared=be.shared)
     res = SC.prove(FR, ht.device_state(), polys, degree=degree, comb=comb,
                    consts=mono_consts, masks=be.sc_masks(log_n, degree, 10),
-                   shared=be.shared)
+                   shared=be.shared,
+                   round_consts=be.mul_mask_consts(log_n, 10))
     ht.state = T.HostTranscript.from_device_state(res.state).state
     r_z = res.challenges
     for nm in instr_names:

@@ -136,8 +136,9 @@ def _monomial_comb_factory(n_f, n_m, bucket_dims, shared):
     import jax
 
     from ...parallel import mpc
+    from ...parallel.rng import zero_shares_from_keys
 
-    def comb(polys, consts):
+    def comb(polys, consts, t=0):
         eq = polys[0]
         vals = list(polys[1 : 1 + n_f + n_m])   # flags then Es
         out = polys[1 + n_f + n_m]
@@ -145,23 +146,42 @@ def _monomial_comb_factory(n_f, n_m, bucket_dims, shared):
         if shared:
             z = jnp.zeros_like(onev)
             onev = jnp.stack([onev, z, z])      # trivial share of 1
+            # trailing consts: correlated-rng key_data [3, K] + round
+            # counter (runtime scalar) — fresh reshare masks per
+            # (round, t, bucket, term, chain position)
+            key_data, round_ctr = consts[-2], consts[-1]
         V = jnp.stack(vals + [onev])            # [n_f+n_m+1, (3,) h, 16]
         acc = jnp.zeros_like(vals[0])
         for bi, d in enumerate(bucket_dims):
             sel, coeff = consts[2 * bi], consts[2 * bi + 1]
+            n_terms = sel.shape[0]
 
-            def body(a, xs, d=d):
-                s, co = xs                      # [1+d] int32, [16]
+            def body(a, xs, d=d, bi=bi):
+                s, co, ti = xs                  # [1+d] int32, [16], scalar
                 p = V[s[0]]                     # the flag factor
                 for k in range(1, 1 + d):
+                    if shared and k >= 2:
+                        # p is the previous mul's ADDITIVE output; the next
+                        # 3-term mul takes its b-component (= the implicit
+                        # ring reshare, rep3/arithmetic.rs:51-105) — add a
+                        # fresh zero share before that message exists
+                        local = jnp.uint32(
+                            ((t * len(bucket_dims) + bi) << 3) | k)
+                        p = F.add(FR, p, zero_shares_from_keys(
+                            FR, key_data, p.shape[1:-1],
+                            round_ctr, ti, local))
                     q = V[s[k]]
                     p = mpc.mul(FR, p, q) if shared else F.mul(FR, p, q)
                 term = F.mul(FR, p, jnp.broadcast_to(co, p.shape))
                 return F.add(FR, a, term), None
 
-            acc, _ = jax.lax.scan(body, acc, (sel, coeff))
+            acc, _ = jax.lax.scan(
+                body, acc,
+                (sel, coeff, jnp.arange(n_terms, dtype=jnp.uint32)))
         return F.mul(FR, eq, F.sub(FR, acc, out))
 
+    if shared:
+        comb.wants_t = True
     return comb
 
 

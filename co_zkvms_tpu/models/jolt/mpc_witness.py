@@ -260,7 +260,7 @@ def generate_witness_rep3(key, x_ring, y_ring, schedule, instr_names=None,
         for nm in instr_names
     }
 
-    ops = INS.SharedDeviceOps()
+    ops = INS.SharedDeviceOps(crng=crng, mask_base=888_000)
     out_acc = _zero_stack(n)
     for nm in instr_names:
         ev = {mem: e_polys[mem]

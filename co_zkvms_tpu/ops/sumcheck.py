@@ -86,7 +86,15 @@ def _make_round_fn(spec: FieldSpec, degree: int, comb, shared: bool,
         for t in range(degree + 1):
             if t > 0:
                 cur = [F.add(spec, c, s) for c, s in zip(cur, slopes)]
-            v = comb(cur) if consts is None else comb(cur, consts)  # [..., h, 16]
+            if getattr(comb, "wants_t", False):
+                # combs that re-randomize internal mul chains need the
+                # evaluation point t (distinct data per t must not share a
+                # reshare mask) — passed as a trace-time constant
+                v = comb(cur, consts, t)
+            elif consts is None:
+                v = comb(cur)
+            else:
+                v = comb(cur, consts)  # [..., h, 16]
             ev = F.modsum(spec, v, v.ndim - 2)  # sum over element axis
             msgs.append(ev)
         msg = jnp.stack(msgs, axis=-2)  # [..., degree+1, 16]
@@ -186,6 +194,7 @@ def prove(
     shared: bool = False,
     consts=None,
     zk_mask=None,
+    round_consts=None,
 ) -> SumcheckResult:
     """Run all sumcheck rounds. ``polys`` tables must share element length 2^nv.
 
@@ -197,6 +206,11 @@ def prove(
     mask polynomial g into every round message (see _make_round_fn). The
     caller commits g and opens g(z) at the endpoint; the verifier's final
     check subtracts rho1 * g(z).
+
+    ``round_consts``: optional list (len nv) of per-round tuples appended to
+    ``consts`` each round — runtime data that must differ per round without
+    recompiling (e.g. the correlated-rng counter feeding mul-chain reshare
+    masks inside the comb). Shapes must be round-invariant.
     """
     n = polys[0].shape[-2]
     nv = n.bit_length() - 1
@@ -234,7 +248,10 @@ def prove(
         if zk:
             zkarg = (rho1, u_evals[j], coeffs[j], suffix[j], pow_r[j],
                      pow_r1[j], acc_a)
-        state, r, msg, polys, a_next = fn(state, polys, mask, consts, zkarg)
+        cj = consts
+        if round_consts is not None:
+            cj = tuple(consts or ()) + tuple(round_consts[j])
+        state, r, msg, polys, a_next = fn(state, polys, mask, cj, zkarg)
         if zk:
             acc_a = a_next
         rs.append(r)

@@ -42,3 +42,22 @@ class CorrelatedRng(NamedTuple):
         r = jax.vmap(gen)(self.key_data)  # [3, *shape, 16] — r[p] = PRF(s_p)
         r_prev = jnp.roll(r, 1, axis=0)  # party p's copy of PRF(s_{p-1})
         return F.sub(spec, r, r_prev)
+
+
+def zero_shares_from_keys(spec: FieldSpec, key_data, shape, *counters):
+    """Trace-compatible zero-sum shares from raw ``key_data`` [3, K].
+
+    Same construction as ``CorrelatedRng.zero_shares`` but usable INSIDE a
+    jitted kernel with traced counters (e.g. a per-round counter passed as a
+    runtime argument plus a scanned term index) — the fresh-randomness source
+    for mul-chain resharing inside compiled sumcheck rounds, where a
+    host-side counter would bake one constant mask per compiled shape."""
+
+    def gen(kd):
+        k = jax.random.wrap_key_data(kd)
+        for ctr in counters:
+            k = jax.random.fold_in(k, ctr)
+        return F.random(spec, k, shape)
+
+    r = jax.vmap(gen)(key_data)
+    return F.sub(spec, r, jnp.roll(r, 1, axis=0))
