@@ -1,16 +1,25 @@
 """Benchmark driver: prints ONE JSON line with the headline metric.
 
-Headline: variable-base MSM throughput (points/s/chip) — the kernel the
-reference pipeline is bound by (BASELINE.md: party-side PST13 ``batch_msm``
-= 144.5 s of a 344 s co-Jolt proof).
+Headline: variable-base MSM throughput (points/s/chip) at the TUNED
+configuration (n=2^20, auto window size -> c=12 fused VMEM kernel on TPU) —
+the kernel the reference pipeline is bound by (BASELINE.md: party-side
+PST13 ``batch_msm`` = 144.5 s of a 344 s co-Jolt proof).
 
 vs_baseline: the reference gives no direct MSM ops/s number; we derive an
 estimate from its committed trace: sha2-chain x300 => trace length ~2^20,
 Jolt commits O(100) polynomials of that length per party, so ~1e8 points in
 144.5 s ~= 7e5 points/s on the 32-CPU host. vs_baseline = ours / 7e5.
 
-Secondary numbers (stderr): field-mul throughput, sumcheck round throughput,
-e2e Spartan prove latency on a 2^12-constraint circuit.
+Secondary lines (stderr + BENCH_DETAIL.json, the BASELINE.json set):
+- field-mul throughput + roofline % (HBM-bandwidth model: a dependent
+  Montgomery mul streams 3 x 64 B per element at ~820 GB/s on v5e);
+- MSM roofline % (point-adds/s vs the flat field-mul rate: one mixed add
+  = 11 muls + overhead);
+- sumcheck round throughput (elements/s, degree-3 4-table comb at 2^20);
+- e2e proof latencies: Spartan 2^12 (+2^20 opt-in via BENCH_E2E_BIG),
+  linked Jolt zkVM guest;
+- multichip scaling: measured separately by the driver via
+  __graft_entry__.dryrun_multichip (virtual mesh; ICI numbers need a pod).
 """
 
 import json
@@ -21,51 +30,67 @@ import jax
 import jax.numpy as jnp
 
 REF_MSM_POINTS_PER_S = 7.0e5  # documented estimate, see module docstring
+HBM_GBPS = 819.0              # v5e HBM bandwidth (spec)
+DETAIL = {}
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def bench_msm(n_log2=16, c=8, iters=3):
+def _sync_limb(x):
+    """Force completion through the TPU relay (block_until_ready lies)."""
+    return int(jax.device_get(jnp.ravel(x)[0]))
+
+
+def bench_msm(n_log2=20, c=None, iters=3):
     from co_zkvms_tpu.ops import curve as C
     from co_zkvms_tpu.ops import field as F
     from co_zkvms_tpu.ops import msm as M
-    from co_zkvms_tpu.ops.field import FR, FQ
+    from co_zkvms_tpu.ops import ref_bn254 as bn
+    from co_zkvms_tpu.ops.field import FR
 
     n = 1 << n_log2
     key = jax.random.key(0)
     k1, k2 = jax.random.split(key)
-    # pseudo-points: random multiples of G via fixed-base (device-side)
-    from co_zkvms_tpu.ops import ref_bn254 as bn
-
     g = C.points_from_ints([bn.g1_coords(bn.G1_GEN)])
     g1 = C.APoint(g.x[0], g.y[0])
     exps = F.random(FR, k1, (n,))
     pts = C.to_affine(M.fixed_base_msm(g1, exps))
     scalars = F.random(FR, k2, (n,))
     jax.block_until_ready((pts, scalars))
-    log(f"msm setup done: n=2^{n_log2}")
-
-    # NB: block_until_ready does not synchronize through this environment's
-    # TPU relay — a host fetch of one limb forces real completion.
-    def sync(p):
-        return int(jax.device_get(p.x[0, 0]))
+    c_eff = c if c is not None else M._auto_c(n)
+    log(f"msm setup done: n=2^{n_log2} c={c_eff}")
 
     t0 = time.time()
     res = M.msm(pts, scalars, c=c)
-    sync(res)
-    log(f"msm warmup (compile+run): {time.time()-t0:.2f}s")
+    _sync_limb(res.x)
+    warm = time.time() - t0
+    log(f"msm warmup (compile+run): {warm:.2f}s")
 
     times = []
     for _ in range(iters):
         t0 = time.time()
         res = M.msm(pts, scalars, c=c)
-        sync(res)
+        _sync_limb(res.x)
         times.append(time.time() - t0)
     best = min(times)
-    log(f"msm n=2^{n_log2} c={c}: best {best:.3f}s -> {n/best:,.0f} points/s")
-    return n / best
+    pps = n / best
+    # roofline: nw windows x n mixed adds, 11 muls + ~6 adds each ~= 12
+    # mul-equivalents, vs the measured flat field-mul rate
+    nw = M._n_windows(c_eff)
+    mul_rate = DETAIL.get("field_mul_per_s")
+    if mul_rate:
+        roofline_pps = mul_rate / (nw * 12.0)
+        pct = 100.0 * pps / roofline_pps
+        DETAIL["msm_roofline_pct"] = round(pct, 1)
+        log(f"msm roofline: {pct:.1f}% of field-mul-rate bound "
+            f"({roofline_pps:,.0f} pts/s ideal at {nw} windows)")
+    log(f"msm n=2^{n_log2} c={c_eff}: best {best:.3f}s -> {pps:,.0f} points/s")
+    DETAIL["msm_points_per_s"] = round(pps)
+    DETAIL["msm_config"] = {"n_log2": n_log2, "c": c_eff}
+    DETAIL["msm_warmup_s"] = round(warm, 1)
+    return pps
 
 
 def bench_field_mul(n_log2=20, chain=50):
@@ -76,18 +101,60 @@ def bench_field_mul(n_log2=20, chain=50):
     a = F.random(FR, jax.random.key(1), (n,))
     b = F.random(FR, jax.random.key(2), (n,))
     out = F.mul(FR, a, b)
-    int(jax.device_get(out[0, 0]))  # real sync (block_until_ready lies here)
-    # dependent chain with a single sync: measures steady-state per-mul time
+    _sync_limb(out)
     t0 = time.time()
     for _ in range(chain):
         out = F.mul(FR, out, b)
-    int(jax.device_get(out[0, 0]))
+    _sync_limb(out)
     per = (time.time() - t0) / chain
-    log(f"field mul n=2^{n_log2}: {per*1e3:.3f}ms/mul -> {n/per/1e6:.1f} Mmul/s")
-    return n / per
+    rate = n / per
+    # HBM model: read 2 operands + write 1 result, 64 B each per element
+    ideal = HBM_GBPS * 1e9 / (3 * 64)
+    pct = 100.0 * rate / ideal
+    log(f"field mul n=2^{n_log2}: {per*1e3:.3f}ms/mul -> {rate/1e6:.1f} "
+        f"Mmul/s ({pct:.1f}% of HBM roofline {ideal/1e6:.0f} Mmul/s)")
+    DETAIL["field_mul_per_s"] = round(rate)
+    DETAIL["field_mul_roofline_pct"] = round(pct, 1)
+    return rate
 
 
-def bench_spartan_e2e(n_cons_log2=10):
+def bench_sumcheck_round(n_log2=20):
+    """Degree-3 4-table comb (the GKR/outer-Spartan inner loop): full prove
+    over 2^n elements; reports elements/s across all rounds and the
+    bandwidth roofline of the dominant first round."""
+    from co_zkvms_tpu.ops import field as F
+    from co_zkvms_tpu.ops import sumcheck as SC
+    from co_zkvms_tpu.ops import transcript as T
+    from co_zkvms_tpu.ops.field import FR
+
+    n = 1 << n_log2
+    polys = [F.random(FR, jax.random.key(10 + i), (n,)) for i in range(4)]
+    state = T.HostTranscript(b"bench").device_state()
+
+    def comb(ps):
+        eq, az, bz, cz = ps
+        return F.mul(FR, eq, F.sub(FR, F.mul(FR, az, bz), cz))
+
+    res = SC.prove(FR, state, polys, degree=3, comb=comb)
+    _sync_limb(res.round_msgs)
+    t0 = time.time()
+    res = SC.prove(FR, state, polys, degree=3, comb=comb)
+    _sync_limb(res.round_msgs)
+    dt = time.time() - t0
+    rate = n / dt
+    # the table pass streams 4 tables x n x 64 B reads (+ n/2 writes);
+    # rounds halve, so total traffic ~= 2x first round
+    traffic = 2 * (4 + 2) * 64 * n
+    ideal = n / (traffic / (HBM_GBPS * 1e9))
+    pct = 100.0 * rate / ideal
+    log(f"sumcheck d3 full prove 2^{n_log2}: {dt:.3f}s -> "
+        f"{rate/1e6:.1f} M elements/s ({pct:.1f}% of HBM roofline)")
+    DETAIL["sumcheck_elems_per_s"] = round(rate)
+    DETAIL["sumcheck_roofline_pct"] = round(pct, 1)
+    return rate
+
+
+def bench_spartan_e2e(n_cons_log2=12):
     from co_zkvms_tpu.models import spartan
     from co_zkvms_tpu.models.synthetic import squaring_chain
     from co_zkvms_tpu.ops import pst13
@@ -102,13 +169,44 @@ def bench_spartan_e2e(n_cons_log2=10):
     t0 = time.time()
     proof = spartan.prove(index, srs, z)
     t_second = time.time() - t0
-    log(
-        f"spartan e2e 2^{n_cons_log2} constraints: first {t_first:.2f}s "
-        f"(incl. compile), steady {t_second:.2f}s"
-    )
+    log(f"spartan e2e 2^{n_cons_log2} constraints: first {t_first:.2f}s "
+        f"(incl. compile), steady {t_second:.2f}s")
     ok = spartan.verify(index, srs, [3], proof)
     log(f"spartan verify: {ok}")
+    DETAIL[f"spartan_2e{n_cons_log2}_steady_s"] = round(t_second, 2)
+    DETAIL[f"spartan_2e{n_cons_log2}_compile_s"] = round(t_first - t_second, 2)
     return t_second
+
+
+def bench_jolt_e2e():
+    """Linked Jolt zkVM (full RV32IM incl. DIV sequence) on a small guest."""
+    from co_zkvms_tpu.models.jolt import jolt, rv32i as rv, subtables as ST
+    from co_zkvms_tpu.ops import pst13
+
+    ST.set_config(8)
+    try:
+        srs = pst13.setup_cached(8, seed=21)
+        prog = [
+            rv.asm("ADDI", rd=1, rs1=0, imm=17),
+            rv.asm("ADDI", rd=2, rs1=0, imm=5),
+            rv.asm("DIV", rd=3, rs1=1, rs2=2),
+            rv.asm("MULH", rd=5, rs1=1, rs2=2),
+            rv.asm("SW", rs1=0, rs2=3, imm=0x104),
+            rv.asm("LW", rd=6, rs1=0, imm=0x104),
+            rv.asm("ECALL"),
+        ]
+        t0 = time.time()
+        proof = jolt.prove(prog, srs, mem_bits=4)
+        t_prove = time.time() - t0
+        t0 = time.time()
+        ok = jolt.verify(proof, prog, srs)
+        t_ver = time.time() - t0
+        log(f"jolt zkVM e2e (RV32IM guest, 2^6 rows): prove {t_prove:.1f}s "
+            f"verify {t_ver:.1f}s ok={ok}")
+        DETAIL["jolt_guest_prove_s"] = round(t_prove, 1)
+        DETAIL["jolt_guest_verify_s"] = round(t_ver, 1)
+    finally:
+        ST.set_config(16)
 
 
 def main():
@@ -120,13 +218,24 @@ def main():
         mul_rate = bench_field_mul()
     except Exception as e:  # noqa: BLE001
         log(f"field bench failed: {e}")
-    if os.environ.get("BENCH_E2E"):
-        # e2e Spartan compiles many per-round kernel shapes; opt-in until the
-        # fixed-shape scan prover lands (it is covered by CPU tests either way)
+    try:
+        bench_sumcheck_round()
+    except Exception as e:  # noqa: BLE001
+        log(f"sumcheck bench failed: {e}")
+    try:
+        bench_spartan_e2e(12)
+    except Exception as e:  # noqa: BLE001
+        log(f"spartan bench failed: {e}")
+    if os.environ.get("BENCH_E2E_BIG"):
         try:
-            bench_spartan_e2e()
+            bench_spartan_e2e(20)
         except Exception as e:  # noqa: BLE001
-            log(f"spartan bench failed: {e}")
+            log(f"spartan 2^20 bench failed: {e}")
+    if os.environ.get("BENCH_JOLT"):
+        try:
+            bench_jolt_e2e()
+        except Exception as e:  # noqa: BLE001
+            log(f"jolt bench failed: {e}")
 
     # the TPU relay worker occasionally crashes under sustained load —
     # retry, and always emit a JSON line even if MSM never completes
@@ -138,6 +247,12 @@ def main():
         except Exception as e:  # noqa: BLE001
             log(f"msm bench attempt {attempt} failed: {e}")
             time.sleep(45)
+    try:
+        with open("BENCH_DETAIL.json", "w") as fh:
+            json.dump(DETAIL, fh, indent=1)
+        log(f"detail: {json.dumps(DETAIL)}")
+    except Exception as e:  # noqa: BLE001
+        log(f"detail write failed: {e}")
     if pps is not None:
         print(
             json.dumps(

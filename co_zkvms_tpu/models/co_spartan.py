@@ -61,10 +61,21 @@ def share_witness(index: SpartanIndex, z_ints, key):
     return io_table, z_shares, w_shares
 
 
-def _comb1_shared(polys):
+def _comb1_shared(polys, consts, chunk_i, t_idx):
+    """Outer comb with a fresh correlated zero share on the az*bz reshare
+    (mask-on-every-reshare, rep3/arithmetic.rs:39-48), derived in-kernel per
+    (round, chunk, t)."""
+    from ..parallel.rng import zero_shares_from_keys
+
     eq, az, bz, cz = polys
-    prod = mpc.mul(FR, az, bz)          # additive shares of az*bz
+    key_data, rctr = consts
+    mask = zero_shares_from_keys(FR, key_data, az.shape[1:-1],
+                                 rctr, chunk_i, t_idx)
+    prod = mpc.mul(FR, az, bz, zero_mask=mask)
     return F.mul(FR, eq, F.sub(FR, prod, cz))
+
+
+_comb1_shared.wants_ctr = True
 
 
 # per-party commit/open share merges live in models/mpc_pcs.py (the Rep3
@@ -156,6 +167,8 @@ def prove_rep3(
         masks=masks1,
         shared=True,
         zk_mask=zk1,
+        round_consts=[(crng.key_data, jnp.uint32(500_000 + j))
+                      for j in range(nv)],
     )
     rx = res1.challenges
     va = S.combine(FR, res1.final_polys[1])[0]

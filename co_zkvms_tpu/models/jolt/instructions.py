@@ -249,6 +249,11 @@ class InstrSpec:
             return out
         if self.index_mode == "x":
             return ST.chunks_of_index(x)
+        if self.index_mode == "adv":
+            # advice lookups (virtual_advice.rs): the index IS the advice
+            # value — uniform Spartan adds NO dim constraint; the identity
+            # collation + chunk range memories range-check it to WORD bits
+            return ST.chunks_of_index(x)
         raise ValueError(self.index_mode)
 
 
@@ -494,7 +499,7 @@ INSTRUCTIONS = {
     "MOVSIGN": InstrSpec("MOVSIGN", "x", (("sign_hi", C // 2),), 1,
                          _combine_movsign),
     "MOVE": InstrSpec("MOVE", "x", _ident_low(), 1, _concat_low_half),
-    "ADVICE": InstrSpec("ADVICE", "x", _ident_low(), 1, _concat_low_half),
+    "ADVICE": InstrSpec("ADVICE", "adv", _ident_low(), 1, _concat_low_half),
     "POW2": InstrSpec("POW2", "x", (("pow2", C - 1),), 1,
                       _combine_single("pow2")),
     "SRA_PADDING": InstrSpec("SRA_PADDING", "x", (("rs_padding", C - 1),), 1,
@@ -623,8 +628,8 @@ TRACER_TO_LOOKUP = {
     "MUL": "MUL", "MULHU": "MULHU",
     "LUI": "MOVE", "AUIPC": "ADD", "JAL": "ADD", "JALR": "ADD",
     # M-extension ops MULH/MULHSU/DIV/DIVU/REM/REMU and byte/halfword
-    # loads/stores expand into virtual sequences (models/jolt/sequences.py)
-    # before reaching the lookup layer.
+    # loads/stores expand into virtual sequences (models/jolt/sequences.py,
+    # maps jolt/vm/jolt/mod.rs:156-221) before reaching the lookup layer.
 }
 
 

@@ -65,6 +65,7 @@ from .. import mpc_pcs
 from . import instructions as INS
 from . import lasso
 from . import rv32i as rv
+from . import sequences as SEQ
 from . import subtables as ST
 from . import uniform_spartan as US
 
@@ -91,42 +92,32 @@ class JoltProof(NamedTuple):
 # --- public structure derived from the program ------------------------------
 
 
-def instr_set_for(program_words):
-    """Lookup instruction set implied by the public program image."""
-    names = set()
-    for i, w in enumerate(program_words):
-        op = rv.decode(w, 4 * i).op
-        if op in ("ECALL", "EBREAK", "LUI", "LW", "SW"):
-            continue        # no-lookup ops handled purely by uniform Spartan
-        lk = INS.TRACER_TO_LOOKUP.get(op)
-        if lk is None:
-            raise NotImplementedError(
-                f"op {op} needs a virtual sequence (not yet linked)")
-        names.add(lk)
-    return tuple(sorted(names))
+def instr_set_for(program_words, code_base: int = 0x400):
+    """Lookup instruction set implied by the public program image (after
+    virtual-sequence expansion — full RV32IM)."""
+    rows, _ = SEQ.expand_program(program_words, code_base)
+    return tuple(sorted({r.op for r in rows if r.op is not None}))
 
 
-def bytecode_image(program_words, instr_names):
-    """Public bytecode tuples (bitflags, rs1, rs2, rd, imm_u32); row 0 is the
-    reserved zero row. Returns [R_pad][5] ints."""
-    rows = [(0, 0, 0, 0, 0)]
-    for i, w in enumerate(program_words):
-        ins = rv.decode(w, 4 * i)
-        if ins.op in ("ECALL", "EBREAK"):
-            rows.append((0, 0, 0, 0, 0))
-            continue
-        flags = US.op_flags(ins.op, imm=ins.imm, rd=ins.rd)
-        bf = sum(flags[cf] << k for k, cf in enumerate(US.CIRCUIT_FLAGS))
-        lk = None if ins.op == "LUI" else INS.TRACER_TO_LOOKUP.get(ins.op)
-        if lk is not None:
-            bf |= 1 << (US.N_CF + instr_names.index(lk))
-        rows.append((bf, ins.rs1, ins.rs2, ins.rd, ins.imm & MASK32))
+def bytecode_image(program_words, instr_names, code_base: int = 0x400):
+    """Public bytecode tuples (bitflags, rs1, rs2, rd, imm_u32, pc) of the
+    EXPANDED program; row 0 is the reserved zero row. Returns
+    [R_pad][6] ints (maps BytecodePreprocessing over the flat-mapped
+    virtual-sequence rows, jolt/vm/jolt/mod.rs:177-199)."""
+    erows, _ = SEQ.expand_program(program_words, code_base)
+    rows = [(0, 0, 0, 0, 0, 0)]
+    for r in erows:
+        bf = sum(r.flags[cf] << k for k, cf in enumerate(US.CIRCUIT_FLAGS))
+        if r.op is not None:
+            bf |= 1 << (US.N_CF + instr_names.index(r.op))
+        rows.append((bf, r.rs1, r.rs2, r.rd, r.imm & MASK32, r.pc))
     r_pad = 1 << max(2, (len(rows) - 1).bit_length())
-    rows += [(0, 0, 0, 0, 0)] * (r_pad - len(rows))
+    rows += [(0, 0, 0, 0, 0, 0)] * (r_pad - len(rows))
     return rows
 
 
-BC_VALUE_COLS = ("bc_bitflags", "bc_rs1", "bc_rs2", "bc_rd", "bc_imm")
+BC_VALUE_COLS = ("bc_bitflags", "bc_rs1", "bc_rs2", "bc_rd", "bc_imm",
+                 "bc_pc")
 
 
 def _logical_memories(instr_names, mem_bits, r_pad):
@@ -135,7 +126,7 @@ def _logical_memories(instr_names, mem_bits, r_pad):
     out = [("lasso", m, ST.M) for m in mems]
     out += [("rngx", i, ST.M) for i in range(ST.C)]
     out += [("rngy", i, ST.M) for i in range(ST.C)]
-    out += [("regs", None, 32), ("ram", None, 1 << mem_bits),
+    out += [("regs", None, SEQ.N_REGS), ("ram", None, 1 << mem_bits),
             ("bytecode", None, r_pad)]
     return out
 
@@ -181,7 +172,7 @@ def m_column_order(instr_names, mem_bits, r_pad):
     by_size[ST.M] += [f"fct_{s}_{c}" for s, c in mems]
     by_size[ST.M] += [f"rngx_fct_{i}" for i in range(ST.C)]
     by_size[ST.M] += [f"rngy_fct_{i}" for i in range(ST.C)]
-    by_size.setdefault(32, []).extend(["reg_final", "reg_final_ct"])
+    by_size.setdefault(SEQ.N_REGS, []).extend(["reg_final", "reg_final_ct"])
     by_size.setdefault(1 << mem_bits, []).extend(
         ["ram_final", "ram_final_ct"])
     by_size.setdefault(r_pad, []).append("bc_fct")
@@ -193,19 +184,32 @@ def m_column_order(instr_names, mem_bits, r_pad):
 
 def build_columns(trace, program_words, instr_names, mem_bits,
                   code_base, ram_base):
-    """Replay the trace into per-step columns + init/final images.
+    """Replay the trace into per-ROW columns + init/final images.
 
-    The builder re-derives every value with ST.WORD-bit lookup semantics
-    (it is the authoritative witness source; the emulator supplies the
-    instruction sequence and control flow)."""
-    n_real = len(trace)
-    n = max(4, 1 << (n_real - 1).bit_length())
+    Each architectural trace step expands into its virtual-sequence rows
+    (sequences.py, maps jolt/vm/jolt/mod.rs:156-221); the replay executes
+    every expanded row over the 64-entry register file (x0..x31 + v0..v31
+    scratch) with ST.WORD-bit lookup semantics — the builder is the
+    authoritative witness source; the emulator supplies only the
+    architectural instruction sequence and control flow."""
     mems = INS.memories_for(instr_names)
     c, byte = ST.C, ST.BYTE
+    image = bytecode_image(program_words, instr_names, code_base)
+    erows, pc2span = SEQ.expand_program(program_words, code_base)
+
+    # flatten: architectural step -> (expanded row, bytecode address)
+    flat = []
+    for st in trace:
+        a0, cnt = pc2span[st.instr.address]
+        for k in range(cnt):
+            flat.append((erows[a0 - 1 + k], a0 + k))
+    n_real = len(flat)
+    assert n_real > 0, "empty trace"
+    n = max(4, 1 << (n_real - 1).bit_length())
 
     cols = {k: [0] * n for k in
             ["bc_addr", "bc_bitflags", "bc_rs1", "bc_rs2", "bc_rd", "bc_imm",
-             "rs1_val", "rs2_val", "rd_pre", "rd_val",
+             "bc_pc", "rs1_val", "rs2_val", "rd_pre", "rd_val",
              "ram_addr", "ram_read", "ram_write", "lookup_out",
              "rs1_ct", "rs2_ct", "rd_ct", "ram_ct", "bc_ct"]}
     for i in range(c):
@@ -223,8 +227,7 @@ def build_columns(trace, program_words, instr_names, mem_bits,
         cols[f"rngx_ct_{i}"] = [0] * n
         cols[f"rngy_ct_{i}"] = [0] * n
 
-    image = bytecode_image(program_words, instr_names)
-    regs = [0] * 32
+    regs = [0] * SEQ.N_REGS
     reg_ct = {}
     ram = {}
     ram_ct = {}
@@ -233,35 +236,41 @@ def build_columns(trace, program_words, instr_names, mem_bits,
     rng_ct = {("x", i): {} for i in range(c)}
     rng_ct.update({("y", i): {} for i in range(c)})
     tables = {s: ST.materialize_ints(s) for s, _ in mems}
+    zero_flags = {cf: 0 for cf in US.CIRCUIT_FLAGS}
 
     def reg_read(a, ctr_key, t):
         cols[ctr_key + "_ct"][t] = reg_ct.get(a, 0)
         reg_ct[a] = reg_ct.get(a, 0) + 1
         return regs[a]
 
+    x0_cur = y0_cur = 0     # original operand values at sequence entry
     for t in range(n):
-        st = trace[t] if t < n_real else None
-        if st is None:
+        row, bc_a = flat[t] if t < n_real else (None, 0)
+        if row is None:
+            flags = zero_flags
             a1 = a2 = ad = 0
-            op, imm, imm_u = None, 0, 0
-            bc_a = 0
+            imm, lk, adv, pc = 0, None, None, 0
         else:
-            ins = st.instr
-            op, imm = ins.op, ins.imm
-            imm_u = imm & MASK32
-            a1, a2, ad = ins.rs1, ins.rs2, ins.rd
-            bc_a = 1 + (ins.address - code_base) // 4
-            flags = US.op_flags(op, imm=imm, rd=ad)
-            for cf in US.CIRCUIT_FLAGS:
-                cols[cf][t] = flags[cf]
+            flags = row.flags
+            a1, a2, ad = row.rs1, row.rs2, row.rd
+            imm, lk, adv, pc = row.imm, row.op, row.advice, row.pc
+        imm_u = imm & MASK32
+        for cf in US.CIRCUIT_FLAGS:
+            cols[cf][t] = flags[cf]
         cols["bc_addr"][t] = bc_a
-        bf, r1, r2, rd, immv = image[bc_a]
+        bf, r1, r2, rd, immv, pcv = image[bc_a]
         cols["bc_bitflags"][t] = bf
         cols["bc_rs1"][t], cols["bc_rs2"][t] = r1, r2
         cols["bc_rd"][t], cols["bc_imm"][t] = rd, immv
-        assert (r1, r2, rd) == (a1, a2, ad) and immv == (imm & MASK32)
+        cols["bc_pc"][t] = pcv
+        assert (r1, r2, rd, immv, pcv) == (a1, a2, ad, imm_u, pc)
         cols["bc_ct"][t] = bc_ct.get(bc_a, 0)
         bc_ct[bc_a] = bc_ct.get(bc_a, 0) + 1
+
+        if row is not None and flags["cf_ventry"]:
+            # operand values of the ORIGINAL op — advice closures are
+            # evaluated on these, captured before the sequence writes
+            x0_cur, y0_cur = regs[row.a_rs1], regs[row.a_rs2]
 
         rs1_v = reg_read(a1, "rs1", t)
         rs2_v = reg_read(a2, "rs2", t)
@@ -270,16 +279,16 @@ def build_columns(trace, program_words, instr_names, mem_bits,
         cols["rs2_val"][t] = rs2_v
         cols["rd_pre"][t] = rd_p
 
-        real_pc = code_base + 4 * (bc_a - 1)
-        lk = None
-        if st is not None and op not in ("LUI",):
-            lk = INS.TRACER_TO_LOOKUP.get(op)
-        x_q = real_pc if (st and cols["cf_left_pc"][t]) else rs1_v
-        y_q = imm_u if (st and cols["cf_right_imm"][t]) else rs2_v
+        x_q = pc if flags["cf_left_pc"] else rs1_v
+        y_q = imm_u if flags["cf_right_imm"] else rs2_v
         out = 0
         if lk is not None:
             spec = INS.INSTRUCTIONS[lk]
             cols[f"flag_{lk}"][t] = 1
+            if lk == "ADVICE":
+                # the advice VALUE is the lookup index (virtual_advice.rs):
+                # dims/chunks range-check it, no operand constraint applies
+                x_q = adv(x0_cur, y0_cur)
             out = INS.lookup_entry(lk, x_q, y_q)
             dims = spec.to_indices(x_q, y_q)
         else:
@@ -305,39 +314,39 @@ def build_columns(trace, program_words, instr_names, mem_bits,
                 cols[f"rng{xy}_ct_{i}"][t] = rng_ct[k].get(a, 0)
                 rng_ct[k][a] = rng_ct[k].get(a, 0) + 1
 
-        # RAM replay (word slots)
-        if st is not None and op in ("LW", "SW"):
-            slot = (st.mem_addr - ram_base) // 4
-            assert 0 <= slot < (1 << mem_bits), (op, hex(st.mem_addr))
+        # RAM replay (word slots; mem_addr = rs1_val + imm_signed)
+        if flags["cf_load"] or flags["cf_store"]:
+            addr_v = rs1_v + imm - ram_base
+            slot, off = divmod(addr_v, 4)
+            assert off == 0 and 0 <= slot < (1 << mem_bits), hex(addr_v)
         else:
             slot = 0
         cur = ram.get(slot, 0)
         cols["ram_addr"][t] = slot
         cols["ram_read"][t] = cur
-        wv = rs2_v if (st is not None and op == "SW") else cur
+        wv = rs2_v if flags["cf_store"] else cur
         cols["ram_write"][t] = wv
         ram[slot] = wv
         cols["ram_ct"][t] = ram_ct.get(slot, 0)
         ram_ct[slot] = ram_ct.get(slot, 0) + 1
 
-        # rd write-back (the chain uniform Spartan enforces)
-        if ad == 0:
-            rd_v = rd_p
-        elif st is not None and op == "LW":
+        # rd write-back — mirrors uniform Spartan's flag chain exactly
+        rdnz = flags["cf_rdnz"]
+        rd_v = rd_p
+        if flags["cf_load"] and rdnz:
             rd_v = cur
-        elif st is not None and op == "LUI":
+        if flags["cf_lui"] and rdnz:
             rd_v = imm_u
-        elif st is not None and op in ("JAL", "JALR"):
-            rd_v = (real_pc + 4) % MOD
-        elif lk is not None and US.writes_lookup_to_rd(op):
+        if flags["cf_jump"] and rdnz:
+            rd_v = (pc + 4) % MOD
+        if flags["cf_wlr"] and rdnz:
             rd_v = out
-        else:
-            rd_v = rd_p
         cols["rd_val"][t] = rd_v
         regs[ad] = rd_v
 
-    # shifted column for the cross-step constraints
-    cols["bc_addr_next"] = cols["bc_addr"][1:] + [0]
+    # shifted columns for the cross-step constraints
+    for cname in US.SHIFT_COLS:
+        cols[cname + "_next"] = cols[cname][1:] + [0]
 
     r_pad = len(image)
     m_cols = {}
@@ -351,7 +360,7 @@ def build_columns(trace, program_words, instr_names, mem_bits,
         m_cols[f"rngy_fct_{i}"] = [rng_ct[("y", i)].get(a, 0)
                                    for a in range(ST.M)]
     m_cols["reg_final"] = list(regs)
-    m_cols["reg_final_ct"] = [reg_ct.get(a, 0) for a in range(32)]
+    m_cols["reg_final_ct"] = [reg_ct.get(a, 0) for a in range(SEQ.N_REGS)]
     m_cols["ram_final"] = [ram.get(s, 0) for s in range(1 << mem_bits)]
     m_cols["ram_final_ct"] = [ram_ct.get(s, 0) for s in range(1 << mem_bits)]
     m_cols["bc_fct"] = [bc_ct.get(a, 0) for a in range(r_pad)]
@@ -552,7 +561,7 @@ def _prove_impl(be, program_words, srs, mem_bits, max_steps, memory,
     emu = rv.Emulator(program_words, base=code_base, memory=memory,
                       max_steps=max_steps)
     trace = emu.run()
-    instr_names = instr_set_for(program_words)
+    instr_names = instr_set_for(program_words, code_base)
     cs = US.build(instr_names, code_base, ram_base)
     cols, m_cols, n, r_pad = build_columns(
         trace, program_words, instr_names, mem_bits, code_base, ram_base)
@@ -560,13 +569,14 @@ def _prove_impl(be, program_words, srs, mem_bits, max_steps, memory,
     US.check_witness(cs, cols, n)
     log_n = n.bit_length() - 1
     mems = INS.memories_for(instr_names)
-    image = bytecode_image(program_words, instr_names)
+    image = bytecode_image(program_words, instr_names, code_base)
 
     # device tables (plain or Rep3-shared, per backend)
     t_order = t_column_order(cs, instr_names)
     dev = be.make_dev({k: cols[k] for k in t_order})
-    dev["bc_addr_next"] = be.make_dev(
-        {"bc_addr_next": cols["bc_addr_next"]})["bc_addr_next"]
+    nxt = be.make_dev({c + "_next": cols[c + "_next"]
+                       for c in US.SHIFT_COLS})
+    dev.update(nxt)
     m_order = m_column_order(instr_names, mem_bits, r_pad)
     mdev = be.make_dev({nm: m_cols[nm]
                         for names in m_order.values() for nm in names})
@@ -683,7 +693,7 @@ def _prove_impl(be, program_words, srs, mem_bits, max_steps, memory,
                                     mdev["ram_final_ct"]))
             elif kind == "bytecode":
                 tup = [be.lift(F.from_int(FR, [row[i] for row in image]))
-                       for i in range(5)]
+                       for i in range(len(BC_VALUE_COLS))]
                 leaves.append(be.fp(gamma, tau_i, addr_s, tup, zero_p))
                 leaves.append(be.fp(gamma, tau_i, addr_s, tup,
                                     mdev["bc_fct"]))
@@ -701,8 +711,18 @@ def _prove_impl(be, program_words, srs, mem_bits, max_steps, memory,
     r_t_dev = F.from_int(FR, r_t)
     for name in cs.committed:
         claim("rt", name, dev[name], r_t_dev)
-    claim("shift", "bc_addr", dev["bc_addr"], F.from_int(FR, shift_z))
-    assert evals[("shift", "bc_addr")] == sp_proof.shift_final
+    shift_z_dev = F.from_int(FR, shift_z)
+    for cname, fin in zip(US.SHIFT_COLS, sp_proof.shift_finals):
+        claim("shift", cname, dev[cname], shift_z_dev)
+        assert evals[("shift", cname)] == fin
+    # execution must START at the program entry: step 0 is a sequence-entry
+    # row at pc = code_base (pins bc_addr[0] via the bytecode multiset;
+    # without this a prover could begin mid-sequence, skipping asserts)
+    t0_dev = F.from_int(FR, [0] * log_n)
+    for cname in ("cf_ventry", "bc_pc"):
+        claim("t0", cname, dev[cname], t0_dev)
+    assert evals[("t0", "cf_ventry")] == 1
+    assert evals[("t0", "bc_pc")] == code_base
 
     # 4. reduce ALL trace-domain claims to one PST13 opening
     t_open = OA.reduce_and_prove(ht, t_claims, srs, **be.oa_kwargs(40))
@@ -746,7 +766,7 @@ def _rw_claim_names(instr_names):
     names += ["bc_rs1", "rs1_val", "rs1_ct", "bc_rs2", "rs2_val", "rs2_ct",
               "bc_rd", "rd_pre", "rd_val", "rd_ct",
               "ram_addr", "ram_read", "ram_write", "ram_ct",
-              "bc_addr", "bc_bitflags", "bc_imm", "bc_ct"]
+              "bc_addr", "bc_bitflags", "bc_imm", "bc_pc", "bc_ct"]
     seen, out = set(), []
     for nm in names:
         if nm not in seen:
@@ -768,12 +788,12 @@ def _mle_eval_ints(values, rho):
 
 def verify(proof: JoltProof, program_words, srs: pst13.SRS) -> bool:
     try:
-        instr_names = instr_set_for(program_words)
-    except NotImplementedError:
+        instr_names = instr_set_for(program_words, proof.code_base)
+    except (NotImplementedError, ValueError, KeyError):
         return False
     cs = US.build(instr_names, proof.code_base, proof.ram_base)
     mems = INS.memories_for(instr_names)
-    image = bytecode_image(program_words, instr_names)
+    image = bytecode_image(program_words, instr_names, proof.code_base)
     r_pad = len(image)
     n = proof.n_steps
     log_n = n.bit_length() - 1
@@ -899,7 +919,7 @@ def verify(proof: JoltProof, program_words, srs: pst13.SRS) -> bool:
                                     ev[("if", s, "ram_final_ct")])
                 else:  # bytecode
                     tup = [_mle_eval_ints([row[i] for row in image], rho_s)
-                           for i in range(5)]
+                           for i in range(len(BC_VALUE_COLS))]
                     fp_i = _fp_ints(gamma, tau, idx_eval, tup, 0)
                     fp_f = _fp_ints(gamma, tau, idx_eval, tup,
                                     ev[("if", s, "bc_fct")])
@@ -924,15 +944,24 @@ def verify(proof: JoltProof, program_words, srs: pst13.SRS) -> bool:
 
         # 3. uniform Spartan
         openings = {nm: ev[("rt", nm)] for nm in cs.committed}
-        ok, r_t, shift_z, shift_final = US.verify(ht, cs, proof.spartan, n,
-                                                  openings)
+        ok, r_t, shift_z, shift_finals = US.verify(ht, cs, proof.spartan, n,
+                                                   openings)
         if not ok:
             return False
         for nm in cs.committed:
             need("rt", nm, r_t)
-        if ev[("shift", "bc_addr")] != shift_final:
+        for cname, fin in zip(US.SHIFT_COLS, shift_finals):
+            if ev[("shift", cname)] != fin:
+                return False
+            need("shift", cname, shift_z)
+        # execution starts at the program entry (sequence-entry row at
+        # code_base) — checked as fixed-point opening claims at t = 0
+        if ev[("t0", "cf_ventry")] != 1 or \
+                ev[("t0", "bc_pc")] != proof.code_base:
             return False
-        need("shift", "bc_addr", shift_z)
+        t0 = [0] * log_n
+        need("t0", "cf_ventry", t0)
+        need("t0", "bc_pc", t0)
 
         # 4. the single trace-domain opening proof
         comm_list = []
@@ -940,7 +969,8 @@ def verify(proof: JoltProof, program_words, srs: pst13.SRS) -> bool:
         claim_cols = ([f"flag_{nm}" for nm in instr_names]
                       + [f"E_{s}_{c}" for s, c in mems] + ["lookup_out"]
                       + _rw_claim_names(instr_names)
-                      + list(cs.committed) + ["bc_addr"])
+                      + list(cs.committed) + list(US.SHIFT_COLS)
+                      + ["cf_ventry", "bc_pc"])
         for nm in claim_cols:
             comm_list.append(pst13.Commitment(proof.comms[nm]))
         if len(comm_list) != len(t_claims):

@@ -138,7 +138,7 @@ def _monomial_comb_factory(n_f, n_m, bucket_dims, shared):
     from ...parallel import mpc
     from ...parallel.rng import zero_shares_from_keys
 
-    def comb(polys, consts, t=0):
+    def comb(polys, consts, chunk_i=None, t_idx=None):
         eq = polys[0]
         vals = list(polys[1 : 1 + n_f + n_m])   # flags then Es
         out = polys[1 + n_f + n_m]
@@ -147,8 +147,9 @@ def _monomial_comb_factory(n_f, n_m, bucket_dims, shared):
             z = jnp.zeros_like(onev)
             onev = jnp.stack([onev, z, z])      # trivial share of 1
             # trailing consts: correlated-rng key_data [3, K] + round
-            # counter (runtime scalar) — fresh reshare masks per
-            # (round, t, bucket, term, chain position)
+            # counter (runtime scalar) — combined with the engine-supplied
+            # chunk counter and t-lane index, every reshare mask is fresh
+            # per (round, chunk, t, term, chain position)
             key_data, round_ctr = consts[-2], consts[-1]
         V = jnp.stack(vals + [onev])            # [n_f+n_m+1, (3,) h, 16]
         acc = jnp.zeros_like(vals[0])
@@ -165,11 +166,10 @@ def _monomial_comb_factory(n_f, n_m, bucket_dims, shared):
                         # 3-term mul takes its b-component (= the implicit
                         # ring reshare, rep3/arithmetic.rs:51-105) — add a
                         # fresh zero share before that message exists
-                        local = jnp.uint32(
-                            ((t * len(bucket_dims) + bi) << 3) | k)
+                        local = jnp.uint32((bi << 3) | k)
                         p = F.add(FR, p, zero_shares_from_keys(
                             FR, key_data, p.shape[1:-1],
-                            round_ctr, ti, local))
+                            round_ctr, chunk_i, t_idx, ti, local))
                     q = V[s[k]]
                     p = mpc.mul(FR, p, q) if shared else F.mul(FR, p, q)
                 term = F.mul(FR, p, jnp.broadcast_to(co, p.shape))
@@ -181,7 +181,7 @@ def _monomial_comb_factory(n_f, n_m, bucket_dims, shared):
         return F.mul(FR, eq, F.sub(FR, acc, out))
 
     if shared:
-        comb.wants_t = True
+        comb.wants_ctr = True
     return comb
 
 

@@ -21,11 +21,12 @@ TPU-first re-design (vs the reference's sequential per-step LUT ops):
   in the reference where flag polys are public (witness.rs:189-199) — so
   per-mode candidate dims/OHVs are combined by public selection, locally.
 
-Geometry limits: the u32 ring covers index widths up to 32 bits, i.e.
-WORD<=31 for sum/diff and WORD<=16 for the MUL family (prod indices are
-2*WORD bits); xy/shift/x modes work at any WORD. The architectural WORD=32
-path for sum/diff/prod needs a 2-limb ring adder (staged; mini geometries
-are what the proof tests exercise, matching the reference's test scales).
+Geometry: operands are shared in the Z_2^64 ring (2x u32 lanes,
+parallel/ring.py U64R) so every index mode works at the architectural
+WORD=32 — sum/diff indices (WORD+1 bits) and MUL-family prod indices
+(2*WORD bits) decompose through the 64-bit Kogge-Stone a2b
+(parallel/binary.py a2b64); modes needing only WORD<=32 bits of x/y run on
+the u32 lane via the share-exact truncation cast.
 """
 
 from __future__ import annotations
@@ -38,6 +39,7 @@ from ...ops import field as F
 from ...ops.field import FR
 from ...parallel import binary as B
 from ...parallel import mpc
+from ...parallel import ring as R
 from ...parallel.rng import CorrelatedRng
 from . import instructions as INS
 from . import lasso
@@ -47,14 +49,13 @@ MOD = FR.modulus
 
 
 def share_operands(key, xs, ys):
-    """Trace-holder side: ring-share the operand columns (the analog of
-    stream_secret_shares for instruction lookups, witness.rs:82-127)."""
+    """Trace-holder side: ring-share the operand columns in Z_2^64
+    (the analog of stream_secret_shares for instruction lookups,
+    witness.rs:82-127). Returns [3, n, 2] u32 lane-pair stacks."""
     kx, ky = jax.random.split(key)
-    x = jnp.asarray(np.asarray(xs, dtype=np.int64) & 0xFFFFFFFF).astype(
-        jnp.uint32)
-    y = jnp.asarray(np.asarray(ys, dtype=np.int64) & 0xFFFFFFFF).astype(
-        jnp.uint32)
-    return B.ring_share(kx, x), B.ring_share(ky, y)
+    x = R.from_ints(R.U64R, [int(v) & 0xFFFFFFFF for v in xs])
+    y = R.from_ints(R.U64R, [int(v) & 0xFFFFFFFF for v in ys])
+    return R.share(R.U64R, kx, x), R.share(R.U64R, ky, y)
 
 
 def _zero_stack(n):
@@ -138,46 +139,45 @@ def generate_witness_rep3(key, x_ring, y_ring, schedule, instr_names=None,
         m = INS.INSTRUCTIONS[nm].index_mode
         if m not in modes:
             modes.append(m)
-    for m in modes:
-        if m in ("sum", "diff") and word > 31:
-            raise NotImplementedError("sum/diff a2b needs 2-limb ring at "
-                                      "WORD=32 (staged)")
-        if m == "prod" and 2 * word > 32:
-            raise NotImplementedError("prod a2b needs 2-limb ring for "
-                                      "WORD>16 (staged)")
 
     # pad operand shares to n (padding steps: operands 0, no instruction)
     def pad(r):
-        return jnp.pad(r, ((0, 0), (0, n - n_real)))
+        return jnp.pad(r, ((0, 0), (0, n - n_real), (0, 0)))
 
-    x_ring, y_ring = pad(x_ring), pad(y_ring)
+    x_ring, y_ring = pad(x_ring), pad(y_ring)       # [3, n, 2] Z_2^64
+    # u32 lane views: share-exact truncation Z_2^64 -> Z_2^32
+    x32, y32 = x_ring[..., 0], y_ring[..., 0]
 
     keys = jax.random.split(key, 16)
     crng = CorrelatedRng.create(keys[0])
 
+    def _wide_bits(ring2, k, nbits):
+        """Z_2^64 share stack -> per-bit Fr shares via the 2-limb adder,
+        on the u32 lane when nbits fits (one 5-round KS instead of two
+        6-round ones)."""
+        if nbits <= 32:
+            return B.b2a_bits_fr(B.a2b(ring2[..., 0], k), nbits)
+        return B.b2a_bits_fr2(B.a2b64(ring2, k), nbits)
+
     # --- bit banks per source ------------------------------------------
     bank = _BitBank(n)
     if any(m in ("xy", "shift", "x") for m in modes):
-        bank.add("x", B.b2a_bits_fr(B.a2b(x_ring, keys[1]), word), word)
+        bank.add("x", B.b2a_bits_fr(B.a2b(x32, keys[1]), word), word)
     if any(m in ("xy", "shift") for m in modes):
-        bank.add("y", B.b2a_bits_fr(B.a2b(y_ring, keys[2]), word), word)
+        bank.add("y", B.b2a_bits_fr(B.a2b(y32, keys[2]), word), word)
     if "x" in modes:
         bank.add("idx_x", bank.banks["x"][0], word)
     if "sum" in modes:
-        s = x_ring + y_ring
-        bank.add("idx_sum", B.b2a_bits_fr(B.a2b(s, keys[3]),
-                                          min(32, word + 1)),
-                 min(32, word + 1))
+        s = R.add(R.U64R, x_ring, y_ring)           # exact: word+1 bits
+        bank.add("idx_sum", _wide_bits(s, keys[3], word + 1), word + 1)
     if "diff" in modes:
-        d = B.ring_add_public(x_ring - y_ring, 1 << word)
-        bank.add("idx_diff", B.b2a_bits_fr(B.a2b(d, keys[4]),
-                                           min(32, word + 1)),
-                 min(32, word + 1))
+        d = R.add_public(R.U64R, R.sub(R.U64R, x_ring, y_ring),
+                         R.from_ints(R.U64R, 1 << word))
+        bank.add("idx_diff", _wide_bits(d, keys[4], word + 1), word + 1)
     if "prod" in modes:
-        p = B.ring_mul(x_ring, y_ring,
-                       B.ring_zero_shares(keys[5], x_ring.shape[1:]))
-        bank.add("idx_prod", B.b2a_bits_fr(B.a2b(p, keys[6]), 2 * word),
-                 2 * word)
+        p = R.mul_shares(R.U64R, x_ring, y_ring,
+                         R.zero_shares(R.U64R, keys[5], x_ring.shape[1:-1]))
+        bank.add("idx_prod", _wide_bits(p, keys[6], 2 * word), 2 * word)
 
     # --- public mode selection flags ------------------------------------
     flag_np = {m: np.zeros(n, dtype=np.int64) for m in modes}

@@ -73,6 +73,7 @@ CIRCUIT_FLAGS = (
     "cf_imm_neg",       # decoded immediate is negative
     "cf_rdnz",          # rd field is nonzero (a real destination register)
     "cf_wlr",           # rd <- lookup output (WriteLookupOutputToRD)
+    "cf_ventry",        # first row of an op (virtual-sequence entry point)
 )
 N_CF = len(CIRCUIT_FLAGS)
 
@@ -109,6 +110,7 @@ def op_flags(op: str, imm: int = 0, rd: int = 0) -> dict:
     if rd != 0:
         f["cf_rdnz"] = 1
     f["cf_wlr"] = writes_lookup_to_rd(op)
+    f["cf_ventry"] = 1          # plain ops are single-row sequences
     return f
 
 
@@ -170,6 +172,7 @@ def build(instr_names, code_base: int, ram_base: int) -> ConstraintSystem:
 
     inputs = ["one",
               "bc_addr", "bc_bitflags", "bc_rs1", "bc_rs2", "bc_rd", "bc_imm",
+              "bc_pc",
               "rs1_val", "rs2_val", "rd_pre", "rd_val",
               "ram_addr", "ram_read", "ram_write",
               "lookup_out"]
@@ -205,7 +208,11 @@ def build(instr_names, code_base: int, ram_base: int) -> ConstraintSystem:
         constrain(cond, _lc_sub(then, els),
                   _lc_sub(_lc((name, 1)), els))
 
-    real_pc = _lc(("bc_addr", 4), ("one", code_base - 4))
+    # with virtual sequences the pc is no longer affine in the row index:
+    # it is its own committed column, multiset-checked as part of the
+    # bytecode tuple (the reference's BytecodeRow carries `address` the
+    # same way, jolt/vm/bytecode/mod.rs)
+    real_pc = _lc(("bc_pc", 1))
     imm_signed = _lc(("bc_imm", 1), ("cf_imm_neg", -two32))
 
     # 1. booleanity of every flag
@@ -300,15 +307,33 @@ def build(instr_names, code_base: int, ram_base: int) -> ConstraintSystem:
     aux_ifelse("ax_next_pc", _lc(("ax_sb", 1)), target, _lc(("ax_npj", 1)))
 
     # 9. cross-step constraints (constraints.rs:232-259), via the shifted
-    # column bc_addr_next (proven by the shift sumcheck)
+    # columns bc_addr_next / bc_pc_next / cf_ventry_next (each proven by the
+    # batched shift sumcheck against its unshifted column):
+    #  - a virtual row continues its sequence: next row index is +1, pc
+    #    unchanged;
+    #  - a non-virtual row ends an op: the next row's pc must equal the
+    #    computed next pc AND be a sequence ENTRY row (cf_ventry), so
+    #    control flow cannot enter a sequence mid-way and skip its validity
+    #    asserts (gated by bc_addr_next != 0 — the halt transition fetches
+    #    the reserved zero row).
     inputs.append("bc_addr_next")
-    next_real_pc = _lc(("bc_addr_next", 4), ("one", code_base - 4))
-    eq_cond(_lc(("bc_addr_next", 1)), _lc(("ax_next_pc", 1)), next_real_pc)
+    inputs.append("bc_pc_next")
+    inputs.append("cf_ventry_next")
     eq_cond(_lc(("cf_virtual", 1)), _lc(("bc_addr_next", 1)),
             _lc(("bc_addr", 1), ("one", 1)))
+    eq_cond(_lc(("cf_virtual", 1)), _lc(("bc_pc_next", 1)),
+            _lc(("bc_pc", 1)))
+    aux_prod("ax_nvgate", _lc(("bc_addr_next", 1)),
+             _lc(("one", 1), ("cf_virtual", -1)))
+    eq_cond(_lc(("ax_nvgate", 1)), _lc(("bc_pc_next", 1)),
+            _lc(("ax_next_pc", 1)))
+    eq_cond(_lc(("ax_nvgate", 1)), _lc(("cf_ventry_next", 1)),
+            _lc(("one", 1)))
 
     k_pad = 1 << max(1, (len(rows) - 1).bit_length())
-    committed = tuple(n for n in inputs if n not in ("one", "bc_addr_next"))
+    committed = tuple(n for n in inputs
+                      if n not in ("one", "bc_addr_next", "bc_pc_next",
+                                   "cf_ventry_next"))
     return ConstraintSystem(
         inputs=tuple(inputs), committed=committed, aux_defs=tuple(aux_defs),
         rows=tuple(rows), k_pad=k_pad, instr_names=instr_names,
@@ -380,9 +405,13 @@ class StepSpartanProof(NamedTuple):
     az: int
     bz: int
     cz: int
-    shift_msgs: list        # [log T][3] ints
-    shift_claim: int        # bc_addr_next(r_t)
-    shift_final: int        # bc_addr(z_shift) — also an accumulator claim
+    shift_msgs: list        # [log T][3] ints — ONE rho-batched shift sumcheck
+    shift_claims: list      # [3] ints — col_next(r_t) for SHIFT_COLS
+    shift_finals: list      # [3] ints — col(z_shift), accumulator claims
+
+
+# columns proven shifted-by-one via the batched eqplus1 sumcheck
+SHIFT_COLS = ("bc_addr", "bc_pc", "cf_ventry")
 
 
 def _comb_outer(polys, consts=None):
@@ -390,13 +419,23 @@ def _comb_outer(polys, consts=None):
     return F.mul(FR, eq, F.sub(FR, F.mul(FR, az, bz), cz))
 
 
-def _comb_outer_shared(polys, consts=None):
-    """Rep3 outer comb: one share-mul (Az*Bz) per round evaluation; the
-    round messages are additive shares the engine masks and opens."""
+def _comb_outer_shared(polys, consts, chunk_i, t_idx):
+    """Rep3 outer comb: one share-mul (Az*Bz) per round evaluation with a
+    FRESH correlated zero share on its implicit reshare (mask-on-every-
+    reshare, rep3/arithmetic.rs:39-48); round messages are additive shares
+    the engine additionally masks and opens."""
     from ...parallel import mpc
+    from ...parallel.rng import zero_shares_from_keys
 
     eq, az, bz, cz = polys          # eq public [h,16]; rest [3,h,16]
-    return F.mul(FR, eq[None], F.sub(FR, mpc.mul(FR, az, bz), cz))
+    key_data, rctr = consts
+    mask = zero_shares_from_keys(FR, key_data, az.shape[1:-1],
+                                 rctr, chunk_i, t_idx)
+    prod = mpc.mul(FR, az, bz, zero_mask=mask)
+    return F.mul(FR, eq[None], F.sub(FR, prod, cz))
+
+
+_comb_outer_shared.wants_ctr = True
 
 
 def _comb_mul2(polys, consts=None):
@@ -480,7 +519,8 @@ def prove(ht: T.HostTranscript, cs: ConstraintSystem, dev: dict,
     eq_tau = P.eq_table(FR, F.from_int(FR, tau))
     res = SC.prove(FR, ht.device_state(), [eq_tau, az, bz, cz], degree=3,
                    comb=_comb_outer_shared if be.shared else _comb_outer,
-                   masks=be.sc_masks(nv, 3, 1100), shared=be.shared)
+                   masks=be.sc_masks(nv, 3, 1100), shared=be.shared,
+                   round_consts=be.mul_mask_consts(nv, 1101))
     ht.state = T.HostTranscript.from_device_state(res.state).state
     az_v = be.open_scalar(res.final_polys[1][..., 0, :])
     bz_v = be.open_scalar(res.final_polys[2][..., 0, :])
@@ -490,24 +530,38 @@ def prove(ht: T.HostTranscript, cs: ConstraintSystem, dev: dict,
     r = [int(v) for v in F.to_int(FR, res.challenges)]
     r_t = r[:log_t]
 
-    # shift sumcheck: bc_addr_next(r_t) over the step domain
+    # batched shift sumcheck: col_next(r_t) = sum_t eqplus1(r_t, t)*col(t)
+    # for SHIFT_COLS, rho-RLC'd into one degree-2 sumcheck
     r_t_dev = F.from_int(FR, r_t)
-    shift_claim = be.eval_claim(dev["bc_addr_next"], r_t_dev)
-    ht.absorb(shift_claim)
+    shift_claims = [be.eval_claim(dev[c + "_next"], r_t_dev)
+                    for c in SHIFT_COLS]
+    for v in shift_claims:
+        ht.absorb(v)
+    rho = ht.challenge()
+    combined = dev[SHIFT_COLS[0]]
+    rho_pow = rho
+    for c in SHIFT_COLS[1:]:
+        rp = F.from_int(FR, rho_pow)
+        combined = F.add(FR, combined,
+                         F.mul(FR, jnp.broadcast_to(rp, dev[c].shape),
+                               dev[c]))
+        rho_pow = rho_pow * rho % MOD
     eqp1 = eqplus1_table(P.eq_table(FR, r_t_dev))
-    sres = SC.prove(FR, ht.device_state(), [eqp1, dev["bc_addr"]], degree=2,
+    sres = SC.prove(FR, ht.device_state(), [eqp1, combined], degree=2,
                     comb=_comb_mul2, masks=be.sc_masks(log_t, 2, 1200),
                     shared=be.shared)
     ht.state = T.HostTranscript.from_device_state(sres.state).state
-    shift_final = be.open_scalar(sres.final_polys[1][..., 0, :])
-    ht.absorb(shift_final)
     shift_z = [int(v) for v in F.to_int(FR, sres.challenges)]
+    shift_z_dev = F.from_int(FR, shift_z)
+    shift_finals = [be.eval_claim(dev[c], shift_z_dev) for c in SHIFT_COLS]
+    for v in shift_finals:
+        ht.absorb(v)
 
     proof = StepSpartanProof(
         outer_msgs=SC.round_msgs_to_ints(res.round_msgs),
         az=az_v, bz=bz_v, cz=cz_v,
         shift_msgs=SC.round_msgs_to_ints(sres.round_msgs),
-        shift_claim=shift_claim, shift_final=shift_final,
+        shift_claims=shift_claims, shift_finals=shift_finals,
     )
     return proof, r_t, shift_z
 
@@ -541,8 +595,8 @@ def verify(ht: T.HostTranscript, cs: ConstraintSystem,
            proof: StepSpartanProof, n_steps: int, openings: dict):
     """``openings``: committed-input name -> claimed eval at r_t (the caller
     checks these against the batched opening proof). Returns
-    (ok, r_t, shift_z, shift_final) — shift_final is bc_addr(shift_z), to be
-    checked as an opening claim too."""
+    (ok, r_t, shift_z, shift_finals) — shift_finals are the SHIFT_COLS
+    evals at shift_z, to be checked as opening claims too."""
     log_t = (n_steps - 1).bit_length()
     nv = log_t + (cs.k_pad - 1).bit_length()
     tau = ht.challenges(nv)
@@ -560,9 +614,13 @@ def verify(ht: T.HostTranscript, cs: ConstraintSystem,
     r_t, r_k = r[:log_t], r[log_t:]
 
     # inner check: claimed Az/Bz/Cz vs the public matrix RLC over openings
+    if len(proof.shift_claims) != len(SHIFT_COLS) or \
+            len(proof.shift_finals) != len(SHIFT_COLS):
+        return False, None, None, None
     vals = dict(openings)
     vals["one"] = 1
-    vals["bc_addr_next"] = proof.shift_claim
+    for c, claim in zip(SHIFT_COLS, proof.shift_claims):
+        vals[c + "_next"] = claim
     for claimed, coeffs in zip((proof.az, proof.bz, proof.cz),
                                matrix_rlc(cs, r_k)):
         acc = 0
@@ -573,15 +631,28 @@ def verify(ht: T.HostTranscript, cs: ConstraintSystem,
         if acc != claimed:
             return False, None, None, None
 
-    # shift sumcheck: shift_claim = sum_t eqp1(r_t, t) * bc_addr(t)
-    ht.absorb(proof.shift_claim)
+    # batched shift sumcheck:
+    #   sum_j rho^j col_j_next(r_t) = sum_t eqp1(r_t, t) sum_j rho^j col_j(t)
+    for v in proof.shift_claims:
+        ht.absorb(v)
+    rho = ht.challenge()
+    claim = 0
+    rho_pow = 1
+    for v in proof.shift_claims:
+        claim = (claim + rho_pow * v) % MOD
+        rho_pow = rho_pow * rho % MOD
     try:
-        shift_z, s_expected = SC.verify(proof.shift_msgs, proof.shift_claim,
-                                        ht)
+        shift_z, s_expected = SC.verify(proof.shift_msgs, claim, ht)
     except ValueError:
         return False, None, None, None
     eqp1_v = eqplus1_eval_ints(r_t, shift_z)
-    if eqp1_v * proof.shift_final % MOD != s_expected:
+    fin = 0
+    rho_pow = 1
+    for v in proof.shift_finals:
+        fin = (fin + rho_pow * v) % MOD
+        rho_pow = rho_pow * rho % MOD
+    if eqp1_v * fin % MOD != s_expected:
         return False, None, None, None
-    ht.absorb(proof.shift_final)
-    return True, r_t, shift_z, proof.shift_final
+    for v in proof.shift_finals:
+        ht.absorb(v)
+    return True, r_t, shift_z, list(proof.shift_finals)

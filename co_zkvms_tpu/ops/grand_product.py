@@ -48,13 +48,24 @@ def _comb_gkr(polys, consts):
     return F.mul(FR, eq, acc)
 
 
-def _comb_gkr_shared(polys, consts):
-    eq, left, right = polys             # [3, B, h, 16] share stacks
-    (coeffs,) = consts
-    prod = mpc.mul(FR, left, right)     # additive shares
+def _comb_gkr_shared(polys, consts, chunk_i, t_idx):
+    """Shared GKR comb ([3, B, h, 16] stacks) with a FRESH correlated zero
+    share on every in-round share-mul (mask-on-every-reshare,
+    rep3/arithmetic.rs:39-48): the mask is derived in-kernel per
+    (round, chunk, t) so one compiled program still serves all rounds."""
+    from ..parallel.rng import zero_shares_from_keys
+
+    eq, left, right = polys
+    coeffs, key_data, rctr = consts
+    mask = zero_shares_from_keys(FR, key_data, left.shape[1:-1],
+                                 rctr, chunk_i, t_idx)
+    prod = mpc.mul(FR, left, right, zero_mask=mask)
     mix = F.mul(FR, prod, coeffs[None, :, None, :])
     acc = F.modsum(FR, mix, 1)          # reduce over instances -> [3, h, 16]
     return F.mul(FR, eq, acc)
+
+
+_comb_gkr_shared.wants_ctr = True
 
 
 def compute_layers(leaves, shared: bool = False, masks_rng=None,
@@ -129,15 +140,22 @@ def prove_batched(state, leaves, shared: bool = False, masks_rng=None,
             eq_r = P.eq_table(FR, point)
             nrounds = k - 1
             masks = None
-            if shared and masks_rng is not None:
+            round_consts = None
+            if shared:
                 masks = jnp.stack([
                     masks_rng.zero_shares(FR, mask_base + 97 * k + j, (4,))
                     for j in range(nrounds)
                 ])
+                round_consts = [
+                    (masks_rng.key_data,
+                     jnp.uint32(mask_base + 770_000 + 97 * k + j))
+                    for j in range(nrounds)
+                ]
             res = SC.prove(
                 FR, state, [eq_r, left, right], degree=3,
                 comb=_comb_gkr_shared if shared else _comb_gkr,
                 consts=(coeffs,), masks=masks, shared=shared,
+                round_consts=round_consts,
             )
             state = res.state
             msgs = SC.round_msgs_to_ints(res.round_msgs)

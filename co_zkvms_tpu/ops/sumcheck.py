@@ -44,6 +44,13 @@ _round_fn_cache = {}
 # for every comb in this framework (each has a zero-padded eq/public factor).
 FIXED_CUTOFF = 1 << 8
 
+# rounds above the cutoff run as a fori_loop over fixed-size element chunks
+# of padded full-size buffers, with the active length a TRACED scalar: one
+# compiled program covers every large round of a sumcheck instance (the
+# compile-boundedness fix — round-2 cold compiles of the shared collation
+# comb took ~45 min because every table size recompiled the comb graph).
+CHUNK = 1 << 12
+
 
 def _elem_slice(p, sl):
     return p[..., sl, :]
@@ -58,79 +65,173 @@ def _pad_elems(p, target):
     return jnp.pad(p, pad)
 
 
-def _make_round_fn(spec: FieldSpec, degree: int, comb, shared: bool,
-                   repad: bool = False, zk: bool = False):
-    """Build (and jit) the per-round kernel for a given comb function.
+def _t_stack(spec, even, slope, degree: int):
+    """Restrictions at t = 0..degree stacked on a new axis -3.
 
-    ``repad=True`` keeps the output tables at the INPUT shape by zero-padding
-    the bound halves back up — the fixed-shape small-round regime.
+    even/slope: [..., hh, 16] -> [..., degree+1, hh, 16]; entry t is
+    even + t*slope (incremental adds, no scalar muls)."""
+    levels = [even]
+    cur = even
+    for _ in range(degree):
+        cur = F.add(spec, cur, slope)
+        levels.append(cur)
+    return jnp.stack(levels, axis=-3)
 
-    ``zk=True`` adds the ZK mask polynomial's round contribution in closed
-    form (maps ark-linear-sumcheck's mask_round, used by spartan/src/zk.rs):
-    for g(x) = sum_var u_var(x_var) with per-variable univariates u of
-    degree d, round j's message gains
 
-        rho1 * ( 2^R * (A + u_j(t)) + 2^(R-1) * suffix_j ),
+def _comb_batched(spec, degree: int, comb, curs, consts, chunk_i):
+    """Evaluate ``comb`` at all degree+1 points in ONE vmapped call.
 
-    R = #remaining vars, A = sum_{k<j} u_k(r_k) (threaded through rounds),
-    suffix_j = sum_{k>j} (u_k(0) + u_k(1)). The mask coefficients never
-    leave the device; the verifier only sees g's opening at the endpoint.
-    """
+    ``curs``: per-table t-stacks [..., degree+1, hh, 16]. The comb sees its
+    original rank (vmap maps axis -3), so every existing comb works
+    unchanged; combs with ``wants_ctr`` additionally receive the (traced)
+    chunk counter and their t-lane index for fresh in-chain reshare masks."""
+    ts = jnp.arange(degree + 1, dtype=jnp.uint32)
+    n = len(curs)
+    if getattr(comb, "wants_ctr", False):
+        fn = lambda cur, tt: comb(list(cur), consts, chunk_i, tt)
+        return jax.vmap(fn, in_axes=((-3,) * n, 0), out_axes=-3)(
+            tuple(curs), ts)
+    if consts is None:
+        fn = lambda cur: comb(list(cur))
+    else:
+        fn = lambda cur: comb(list(cur), consts)
+    return jax.vmap(fn, in_axes=((-3,) * n,), out_axes=-3)(tuple(curs))
+
+
+def _open_msg(spec, msg, mask, shared):
+    """Apply the round-message zero-share mask and open the party axis."""
+    if not shared:
+        return msg
+    if mask is not None:
+        msg = F.add(spec, msg, mask)
+    opened = msg[0]
+    for p in range(1, msg.shape[0]):
+        opened = F.add(spec, opened, msg[p])
+    return opened  # [degree+1, 16]
+
+
+def _zk_round(spec, degree, msg, zkarg):
+    """Fold the ZK mask polynomial's round contribution into ``msg``.
+
+    Maps ark-linear-sumcheck's mask_round (used by spartan/src/zk.rs): for
+    g(x) = sum_var u_var(x_var), round j's message gains
+    rho1 * (2^R * (A + u_j(t)) + 2^(R-1) * suffix_j), R = #remaining vars,
+    A = sum_{k<j} u_k(r_k), suffix_j = sum_{k>j} (u_k(0)+u_k(1))."""
+    rho1, u_ev, coeffs, suffix, pow_r, pow_r1, acc_a = zkarg
+    gj = F.add(spec, u_ev, jnp.broadcast_to(acc_a, u_ev.shape))
+    gj = F.mul(spec, jnp.broadcast_to(pow_r, gj.shape), gj)
+    gj = F.add(spec, gj, jnp.broadcast_to(F.mul(spec, pow_r1, suffix),
+                                          gj.shape))
+    return F.add(spec, msg, F.mul(spec, jnp.broadcast_to(rho1, gj.shape), gj))
+
+
+def _zk_accum(spec, degree, coeffs, r, acc_a):
+    """A <- A + u_j(r) via Horner over the round's coefficient row."""
+    u_r = coeffs[degree]
+    for i in range(degree - 1, -1, -1):
+        u_r = F.add(spec, F.mul(spec, u_r, r), coeffs[i])
+    return F.add(spec, acc_a, u_r)
+
+
+def _make_fixed_fn(spec: FieldSpec, degree: int, comb, shared: bool,
+                   zk: bool = False):
+    """Small-round kernel: tables at the FIXED_CUTOFF padded shape; bound
+    halves are zero-padded back up, so one program serves every small round
+    (requires comb(all-zero restrictions) == 0)."""
 
     def round_fn(state, polys, mask=None, consts=None, zkarg=None):
         evens = [_elem_slice(p, slice(0, None, 2)) for p in polys]
         odds = [_elem_slice(p, slice(1, None, 2)) for p in polys]
         slopes = [F.sub(spec, o, e) for o, e in zip(odds, evens)]
-        cur = list(evens)
-        msgs = []
-        for t in range(degree + 1):
-            if t > 0:
-                cur = [F.add(spec, c, s) for c, s in zip(cur, slopes)]
-            if getattr(comb, "wants_t", False):
-                # combs that re-randomize internal mul chains need the
-                # evaluation point t (distinct data per t must not share a
-                # reshare mask) — passed as a trace-time constant
-                v = comb(cur, consts, t)
-            elif consts is None:
-                v = comb(cur)
-            else:
-                v = comb(cur, consts)  # [..., h, 16]
-            ev = F.modsum(spec, v, v.ndim - 2)  # sum over element axis
-            msgs.append(ev)
-        msg = jnp.stack(msgs, axis=-2)  # [..., degree+1, 16]
-        if shared:
-            if mask is not None:
-                msg = F.add(spec, msg, mask)
-            opened = msg[0]
-            for p in range(1, msg.shape[0]):
-                opened = F.add(spec, opened, msg[p])
-            msg = opened  # [degree+1, 16]
+        curs = [_t_stack(spec, e, s, degree) for e, s in zip(evens, slopes)]
+        v = _comb_batched(spec, degree, comb, curs, consts,
+                          jnp.uint32(0))
+        msg = F.modsum(spec, v, v.ndim - 2)      # [(3,) degree+1, 16]
+        msg = _open_msg(spec, msg, mask, shared)
         a_next = None
         if zk:
-            # zkarg: (rho1 [16], u_evals [d+1,16], coeffs [d+1,16],
-            #         suffix [16], pow_r [16], pow_r1 [16], A [16])
-            rho1, u_ev, coeffs, suffix, pow_r, pow_r1, acc_a = zkarg
-            gj = F.add(spec, u_ev, jnp.broadcast_to(acc_a, u_ev.shape))
-            gj = F.mul(spec, jnp.broadcast_to(pow_r, gj.shape), gj)
-            gj = F.add(spec, gj, jnp.broadcast_to(
-                F.mul(spec, pow_r1, suffix), gj.shape))
-            msg = F.add(spec, msg,
-                        F.mul(spec, jnp.broadcast_to(rho1, gj.shape), gj))
+            msg = _zk_round(spec, degree, msg, zkarg)
         state = T.absorb_fes(spec, state, msg)
         state, r = T.challenge_fe(state)
         if zk:
-            # A <- A + u_j(r) via Horner over the coefficient row
-            u_r = coeffs[degree]
-            for i in range(degree - 1, -1, -1):
-                u_r = F.add(spec, F.mul(spec, u_r, r), coeffs[i])
-            a_next = F.add(spec, zkarg[6], u_r)
+            a_next = _zk_accum(spec, degree, zkarg[2], r, zkarg[6])
         bound = [
             F.add(spec, e, F.mul(spec, jnp.broadcast_to(r, s.shape), s))
             for e, s in zip(evens, slopes)
         ]
-        if repad:
-            bound = [_pad_elems(b, polys[0].shape[-2]) for b in bound]
+        bound = [_pad_elems(b, polys[0].shape[-2]) for b in bound]
         return state, r, msg, bound, a_next
+
+    return jax.jit(round_fn)
+
+
+def _make_chunked_fn(spec: FieldSpec, degree: int, comb, shared: bool,
+                     zk: bool = False):
+    """Large-round kernel: ONE compiled program for every round with active
+    length > FIXED_CUTOFF.
+
+    Tables live in fixed full-size buffers (element axis padded to a CHUNK
+    multiple); the active length ``h`` and chunk count are traced scalars.
+    Round evaluation and binding each run as a fori_loop over CHUNK-element
+    slices; inactive positions are masked explicitly (no reliance on
+    zero padding), and binding writes the half-length results back into the
+    buffer prefix in place."""
+
+    def round_fn(state, polys, h, n_chunks, mask=None, consts=None,
+                 zkarg=None):
+        hh = CHUNK // 2
+        pair_pos = jnp.arange(hh, dtype=jnp.uint32)
+
+        def chunk_views(bufs, i):
+            start = i * CHUNK
+            cs = [jax.lax.dynamic_slice_in_dim(p, start, CHUNK,
+                                               axis=p.ndim - 2)
+                  for p in bufs]
+            evens = [_elem_slice(c, slice(0, None, 2)) for c in cs]
+            odds = [_elem_slice(c, slice(1, None, 2)) for c in cs]
+            slopes = [F.sub(spec, o, e) for o, e in zip(odds, evens)]
+            return evens, slopes
+
+        def body_eval(i, acc):
+            evens, slopes = chunk_views(polys, i)
+            curs = [_t_stack(spec, e, s, degree)
+                    for e, s in zip(evens, slopes)]
+            v = _comb_batched(spec, degree, comb, curs, consts,
+                              i.astype(jnp.uint32))
+            valid = (i.astype(jnp.uint32) * jnp.uint32(hh) + pair_pos) \
+                < (h.astype(jnp.uint32) >> 1)
+            v = jnp.where(valid[:, None], v, jnp.zeros_like(v))
+            ev = F.modsum(spec, v, v.ndim - 2)
+            return F.add(spec, acc, ev)
+
+        lead = (3,) if shared else ()
+        acc0 = jnp.zeros(lead + (degree + 1, F.NLIMBS), dtype=jnp.uint32)
+        msg = jax.lax.fori_loop(0, n_chunks, body_eval, acc0)
+        msg = _open_msg(spec, msg, mask, shared)
+        a_next = None
+        if zk:
+            msg = _zk_round(spec, degree, msg, zkarg)
+        state = T.absorb_fes(spec, state, msg)
+        state, r = T.challenge_fe(state)
+        if zk:
+            a_next = _zk_accum(spec, degree, zkarg[2], r, zkarg[6])
+
+        def body_bind(i, bufs):
+            evens, slopes = chunk_views(bufs, i)
+            bound = [
+                F.add(spec, e, F.mul(spec, jnp.broadcast_to(r, s.shape), s))
+                for e, s in zip(evens, slopes)
+            ]
+            # writes land strictly below later reads (i*CHUNK/2 + CHUNK/2
+            # <= i*CHUNK for i >= 1; iteration 0 reads before it writes)
+            return [
+                jax.lax.dynamic_update_slice_in_dim(
+                    p, b, i * hh, axis=p.ndim - 2)
+                for p, b in zip(bufs, bound)
+            ]
+
+        new_polys = jax.lax.fori_loop(0, n_chunks, body_bind, list(polys))
+        return state, r, msg, new_polys, a_next
 
     return jax.jit(round_fn)
 
@@ -216,16 +317,15 @@ def prove(
     nv = n.bit_length() - 1
     assert 1 << nv == n
     zk = zk_mask is not None
-    key = (spec, degree, comb, shared, zk)
-    if key not in _round_fn_cache:
-        _round_fn_cache[key] = _make_round_fn(spec, degree, comb, shared,
-                                              zk=zk)
+    key_c = (spec, degree, comb, shared, zk, "chunk")
+    if key_c not in _round_fn_cache:
+        _round_fn_cache[key_c] = _make_chunked_fn(spec, degree, comb, shared,
+                                                  zk=zk)
     key_f = (spec, degree, comb, shared, zk, "fixed")
     if key_f not in _round_fn_cache:
-        _round_fn_cache[key_f] = _make_round_fn(
-            spec, degree, comb, shared, repad=True, zk=zk
-        )
-    round_fn = _round_fn_cache[key]
+        _round_fn_cache[key_f] = _make_fixed_fn(spec, degree, comb, shared,
+                                                zk=zk)
+    chunk_fn = _round_fn_cache[key_c]
     fixed_fn = _round_fn_cache[key_f]
 
     if zk:
@@ -234,16 +334,23 @@ def prove(
             spec, coeffs, degree)
         acc_a = jnp.zeros((F.NLIMBS,), dtype=jnp.uint32)
 
-    in_fixed = False
+    in_fixed = n <= FIXED_CUTOFF
+    if in_fixed:
+        polys = [_pad_elems(p, FIXED_CUTOFF) for p in polys]
+    else:
+        # full-size buffers (a CHUNK multiple); the active prefix halves
+        # each round while the buffers keep ONE compiled program alive
+        polys = [_pad_elems(p, max(n, CHUNK)) for p in polys]
     rs, msgs = [], []
     for j in range(nv):
         h = n >> j
         if not in_fixed and h <= FIXED_CUTOFF:
-            # enter the fixed-shape regime: pad every table to the cutoff
-            polys = [_pad_elems(p, FIXED_CUTOFF) for p in polys]
+            # enter the fixed-shape regime: slice the active prefix out of
+            # the big buffers (tail may hold stale bound values) and pad
+            polys = [_pad_elems(_elem_slice(p, slice(0, h)), FIXED_CUTOFF)
+                     for p in polys]
             in_fixed = True
         mask = None if masks is None else masks[j]
-        fn = fixed_fn if in_fixed else round_fn
         zkarg = None
         if zk:
             zkarg = (rho1, u_evals[j], coeffs[j], suffix[j], pow_r[j],
@@ -251,14 +358,20 @@ def prove(
         cj = consts
         if round_consts is not None:
             cj = tuple(consts or ()) + tuple(round_consts[j])
-        state, r, msg, polys, a_next = fn(state, polys, mask, cj, zkarg)
+        if in_fixed:
+            state, r, msg, polys, a_next = fixed_fn(state, polys, mask, cj,
+                                                    zkarg)
+        else:
+            n_chunks = max(1, h // CHUNK)
+            state, r, msg, polys, a_next = chunk_fn(
+                state, polys, jnp.int32(h), jnp.int32(n_chunks), mask, cj,
+                zkarg)
         if zk:
             acc_a = a_next
         rs.append(r)
         msgs.append(msg)
-    if in_fixed:
-        # bound values live in the active prefix; index 0 is the final value
-        polys = [_elem_slice(p, slice(0, 1)) for p in polys]
+    # bound values live in the active prefix; index 0 is the final value
+    polys = [_elem_slice(p, slice(0, 1)) for p in polys]
     return SumcheckResult(
         state=state,
         challenges=jnp.stack(rs),

@@ -167,6 +167,59 @@ def a2b(ring_shares, key):
     return _ks_add(s, x2, k2)
 
 
+# --- 64-bit (2-lane) variants: the production WORD=32 geometry --------------
+#
+# A Z_2^64 element is a little-endian (lo, hi) u32 lane pair on a trailing
+# axis of size 2 (parallel/ring.py U64R); binary XOR shares keep the same
+# layout — all bitwise ops are elementwise over the lane axis, only SHIFTS
+# cross lanes. This is the 2-limb adder that lifts sum/diff/prod index
+# decomposition to architectural 32-bit operands (witness.rs:52-210's a2b at
+# the reference's native width).
+
+
+def _shl2(x2, s: int):
+    """Logical left shift of 2-lane (lo, hi) pairs by a static amount."""
+    lo, hi = x2[..., 0], x2[..., 1]
+    if s == 0:
+        return x2
+    if s >= 64:
+        return jnp.zeros_like(x2)
+    if s >= 32:
+        nlo = jnp.zeros_like(lo)
+        nhi = lo << U32(s - 32) if s > 32 else lo
+        return jnp.stack([nlo, nhi], axis=-1)
+    return jnp.stack([lo << U32(s),
+                      (hi << U32(s)) | (lo >> U32(32 - s))], axis=-1)
+
+
+def _ks_add2(x, y, key):
+    """Kogge-Stone addition of two binary-shared u64 (2-lane) vectors
+    (6 AND rounds)."""
+    zero_keys = jax.random.split(key, 7)
+    p = bin_xor(x, y)
+    g = bin_and(x, y, bin_zero_shares(zero_keys[0], x.shape[1:]))
+    shift = 1
+    for i in range(6):
+        p_sh = _shl2(p, shift)
+        g_sh = _shl2(g, shift)
+        g = bin_xor(g, bin_and(p, g_sh,
+                               bin_zero_shares(zero_keys[i + 1],
+                                               x.shape[1:])))
+        p = bin_and(p, p_sh)  # p-chain needs no fresh mask (already uniform)
+        shift *= 2
+    return bin_xor(bin_xor(x, y), _shl2(g, 1))
+
+
+def a2b64(ring2_shares, key):
+    """Additive Z_2^64 shares [3, ..., 2] -> binary XOR shares [3, ..., 2]."""
+    x0 = _trivial_bin(ring2_shares[0], 0)
+    x1 = _trivial_bin(ring2_shares[1], 1)
+    x2 = _trivial_bin(ring2_shares[2], 2)
+    k1, k2 = jax.random.split(key)
+    s = _ks_add2(x0, x1, k1)
+    return _ks_add2(s, x2, k2)
+
+
 # --- b2a: binary -> Fr arithmetic shares ------------------------------------
 
 
@@ -232,3 +285,13 @@ def b2a_bits_fr(bin_shares, nbits: int = W):
     four_e3 = F.add(FR, F.add(FR, e3, e3), F.add(FR, e3, e3))
     b_arith = F.add(FR, b_arith, four_e3)  # [nbits, 3, ..., 16]
     return b_arith
+
+
+def b2a_bits_fr2(bin2_shares, nbits: int):
+    """2-lane (lo, hi) binary shares [3, ..., 2] -> per-bit Fr share stacks
+    [nbits, 3, ..., 16] (nbits <= 64): per-lane b2a_bits_fr, concatenated."""
+    lo_bits = b2a_bits_fr(bin2_shares[..., 0], min(nbits, W))
+    if nbits <= W:
+        return lo_bits
+    hi_bits = b2a_bits_fr(bin2_shares[..., 1], nbits - W)
+    return jnp.concatenate([lo_bits, hi_bits], axis=0)

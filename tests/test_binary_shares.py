@@ -57,3 +57,33 @@ def test_a2b_b2a_chain(rng):
     fr = B.b2a_fr(B.a2b(r, jax.random.key(10)), jax.random.key(11))
     got = [int(v) for v in F.to_int(FR, S.combine(FR, fr))]
     assert got == vals
+
+
+def test_a2b64_roundtrip(rng):
+    """Z_2^64 additive shares -> 64-bit binary shares (2-limb Kogge-Stone)."""
+    import numpy as np
+
+    from co_zkvms_tpu.parallel import ring as R
+
+    xs = [rng.randrange(1 << 64) for _ in range(9)]
+    r = R.share(R.U64R, jax.random.key(21), R.from_ints(R.U64R, xs))
+    b = B.a2b64(r, jax.random.key(22))
+    lo = np.asarray(jax.device_get(b[0] ^ b[1] ^ b[2]))
+    got = [int(lo[i, 0]) | (int(lo[i, 1]) << 32) for i in range(len(xs))]
+    assert got == xs
+
+
+def test_b2a_bits_fr2_chain(rng):
+    """a2b64 -> per-bit Fr shares recompose to the 64-bit value mod p."""
+    from co_zkvms_tpu.parallel import ring as R
+
+    xs = [rng.randrange(1 << 64) for _ in range(5)]
+    r = R.share(R.U64R, jax.random.key(23), R.from_ints(R.U64R, xs))
+    bits = B.b2a_bits_fr2(B.a2b64(r, jax.random.key(24)), 64)
+    acc = None
+    for j in range(64):
+        term = F.mul_small(FR, bits[j], 1 << j)
+        acc = term if acc is None else F.add(FR, acc, term)
+    got = [int(v) for v in
+           jax.device_get(F.to_int(FR, S.combine(FR, acc)))]
+    assert got == [x % FR.modulus for x in xs]

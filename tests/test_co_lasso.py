@@ -1,19 +1,11 @@
-"""co-Lasso (Rep3 shared-witness instruction lookups) vs single-party."""
+"""co-Lasso (Rep3 shared-witness instruction lookups) vs single-party.
 
-import os
+(The shared-collation kernel's cold compile was ~45 min in round 2; the
+t-batched + chunk-scanned sumcheck engine brought the whole module to
+~4 min cold, so the COZK_SKIP_HEAVY gate is gone.)"""
 
 import jax
 import pytest
-
-# NOTE: the shared-collation sumcheck kernel is the largest graph in the
-# framework; its FIRST XLA CPU compile takes ~45 min (cached in .jax_cache
-# afterwards — warm runs are minutes). Set COZK_SKIP_HEAVY=1 to skip on a
-# cold cache. (PROGRESS.md tracks splitting the collation into
-# per-instruction kernels to shrink this.)
-pytestmark = pytest.mark.skipif(
-    bool(os.environ.get("COZK_SKIP_HEAVY")),
-    reason="COZK_SKIP_HEAVY set: skipping large-kernel first-compile",
-)
 
 from co_zkvms_tpu.models.jolt import co_lasso, lasso
 from co_zkvms_tpu.models.jolt import subtables as ST

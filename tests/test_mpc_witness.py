@@ -123,3 +123,37 @@ def test_co_lasso_from_shared_operands():
     assert proof3 == single
     log_n = wit.n.bit_length() - 1
     assert lasso.verify(proof3, names, log_n, srs)
+
+
+def test_mpc_witness_word32_wide_modes():
+    """Architectural WORD=32 geometry (log_m=16): sum/diff indices are 33
+    bits and prod indices 64 bits — exercises the 2-limb Z_2^64 ring adder
+    + 64-bit Kogge-Stone a2b (VERDICT r2 #4)."""
+    ST.set_config(16)
+    try:
+        rng = random.Random(13)
+        names = ("ADD", "SUB", "MUL")         # sum + diff + prod modes
+        queries = _queries(rng, names, 4)
+        # force full-width operands so the carry/limb paths are live
+        queries[0] = ("ADD", 0xFFFFFFFF, 0xFFFFFFFF,
+                      INS.lookup_entry("ADD", 0xFFFFFFFF, 0xFFFFFFFF))
+        queries[1] = ("MUL", 0xFFFFFFFF, 0xFFFFFFFE,
+                      INS.lookup_entry("MUL", 0xFFFFFFFF, 0xFFFFFFFE))
+        queries[2] = ("SUB", 0, 0xFFFFFFFF,
+                      INS.lookup_entry("SUB", 0, 0xFFFFFFFF))
+        want = lasso.build_witness(queries, instr_names=names)
+        xr, yr = MW.share_operands(
+            jax.random.key(15), [q[1] for q in queries],
+            [q[2] for q in queries])
+        got = MW.generate_witness_rep3(
+            jax.random.key(16), xr, yr, [q[0] for q in queries],
+            instr_names=names)
+        for i in got.dims:
+            assert _combine_ints(got.dims[i]) == [
+                int(v) for v in np.asarray(
+                    jax.device_get(F.to_int(FR, want.dims[i]))).reshape(-1)]
+        assert _combine_ints(got.outputs) == [
+            int(v) for v in np.asarray(
+                jax.device_get(F.to_int(FR, want.outputs))).reshape(-1)]
+    finally:
+        ST.set_config(16)

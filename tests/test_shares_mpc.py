@@ -114,3 +114,29 @@ def test_party_sharded_mul(rng):
     prod = jax.jit(lambda a, b: mpc.mul(FR, a, b))(sx, sy)
     got = [int(v) for v in F.to_int(FR, mpc.open(FR, prod))]
     assert got == [(x * y) % MOD for x, y in zip(xs, ys)]
+
+
+def test_every_model_share_mul_is_masked():
+    """Every mpc.mul call-site on a prover path supplies reshare
+    re-randomization (VERDICT r2 #6; maps mpc-core
+    rep3/arithmetic.rs:39-48 mask-on-every-reshare): either a
+    ``zero_mask=`` argument in the call, or a fresh zero share added to the
+    operand immediately before the mul (the chain-premask pattern — the
+    additive share is masked BEFORE its ring reshare message exists)."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "co_zkvms_tpu"
+    bad = []
+    for path in list(root.glob("models/**/*.py")) + [
+            root / "ops" / "grand_product.py"]:
+        lines = path.read_text().splitlines()
+        for i, ln in enumerate(lines):
+            if not re.search(r"\bmpc\.mul\(", ln):
+                continue
+            stmt = " ".join(lines[i:i + 3])
+            context = " ".join(lines[max(0, i - 10):i])
+            if "zero_mask" in stmt or "zero_shares_from_keys" in context:
+                continue
+            bad.append(f"{path.name}:{i + 1}: {ln.strip()}")
+    assert not bad, "unmasked share-muls on prover paths:\n" + "\n".join(bad)

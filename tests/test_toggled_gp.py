@@ -82,9 +82,13 @@ def test_toggled_shared_bit_identical():
     state = T.HostTranscript(LABEL).device_state()
     _, proof_pub, _ = GP.prove_toggled(state, flags_dev, fps_dev)
 
+    from co_zkvms_tpu.parallel.rng import CorrelatedRng
+
     fps_sh = Sh.share(FR, jax.random.key(8), fps_dev)
     state = T.HostTranscript(LABEL).device_state()
-    _, proof_sh, _ = GP.prove_toggled(state, flags_dev, fps_sh, shared=True)
+    _, proof_sh, _ = GP.prove_toggled(state, flags_dev, fps_sh, shared=True,
+                                      masks_rng=CorrelatedRng.create(
+                                          jax.random.key(9)))
     assert proof_sh == proof_pub
 
 
