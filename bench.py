@@ -135,22 +135,39 @@ def bench_sumcheck_round(n_log2=20):
         eq, az, bz, cz = ps
         return F.mul(FR, eq, F.sub(FR, F.mul(FR, az, bz), cz))
 
-    res = SC.prove(FR, state, polys, degree=3, comb=comb)
-    _sync_limb(res.round_msgs)
-    t0 = time.time()
-    res = SC.prove(FR, state, polys, degree=3, comb=comb)
-    _sync_limb(res.round_msgs)
-    dt = time.time() - t0
+    from co_zkvms_tpu.ops import poly as P
+
+    taus = F.random(FR, jax.random.key(14), (n_log2,))
+    eq_t = P.eq_table(FR, taus)
+
+    def run(use_split):
+        if use_split:
+            return SC.prove(FR, state, polys[1:], degree=3, comb=comb,
+                            eq_split=taus)
+        return SC.prove(FR, state, [eq_t] + polys[1:], degree=3, comb=comb)
+
+    times = {}
+    for mode in (False, True):
+        res = run(mode)
+        _sync_limb(res.round_msgs)
+        t0 = time.time()
+        res = run(mode)
+        _sync_limb(res.round_msgs)
+        times[mode] = time.time() - t0
+    dt = times[True]
     rate = n / dt
-    # the table pass streams 4 tables x n x 64 B reads (+ n/2 writes);
-    # rounds halve, so total traffic ~= 2x first round
-    traffic = 2 * (4 + 2) * 64 * n
+    # split-eq streams 3 tables + half-size suffix and binds 3; rounds
+    # halve, so total traffic ~= 2x first round
+    traffic = 2 * (3.5 + 1.5) * 64 * n
     ideal = n / (traffic / (HBM_GBPS * 1e9))
     pct = 100.0 * rate / ideal
-    log(f"sumcheck d3 full prove 2^{n_log2}: {dt:.3f}s -> "
-        f"{rate/1e6:.1f} M elements/s ({pct:.1f}% of HBM roofline)")
+    log(f"sumcheck d3 full prove 2^{n_log2}: split-eq {dt:.3f}s vs "
+        f"eq-in-comb {times[False]:.3f}s "
+        f"({times[False]/dt:.2f}x) -> {rate/1e6:.1f} M elements/s "
+        f"({pct:.1f}% of HBM roofline)")
     DETAIL["sumcheck_elems_per_s"] = round(rate)
     DETAIL["sumcheck_roofline_pct"] = round(pct, 1)
+    DETAIL["sumcheck_split_eq_speedup"] = round(times[False] / dt, 2)
     return rate
 
 

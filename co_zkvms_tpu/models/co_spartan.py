@@ -95,6 +95,7 @@ def prove_rep3(
     mesh=None,
     dfs=None,
     zk_ctx=None,
+    witness=None,
 ) -> SpartanProof:
     """3-party MPC Spartan prove (in-process simulation of all parties).
 
@@ -119,8 +120,14 @@ def prove_rep3(
     nv = index.nv
     share_key = share_key if share_key is not None else jax.random.key(0)
     mask_key = mask_key if mask_key is not None else jax.random.key(1)
-    io_table, z_shares, w_shares = share_witness(index, z_ints, share_key)
-    if mesh is not None:
+    if witness is not None:
+        # pre-distributed shares (per-chunk artifacts — utils/artifacts.py);
+        # already placed on the mesh by the loader
+        io_table, z_shares, w_shares = witness
+    else:
+        io_table, z_shares, w_shares = share_witness(index, z_ints,
+                                                     share_key)
+    if mesh is not None and witness is None:
         from jax.sharding import NamedSharding, PartitionSpec as Pspec
 
         party = "party" if "party" in mesh.shape else None
@@ -152,7 +159,6 @@ def prove_rep3(
     state = ht.device_state()
     state, taus = T.challenge_fes(state, nv)
 
-    eq_tau = P.eq_table(FR, taus)
     az = index.da.mul_vec(z_shares)
     bz = index.db.mul_vec(z_shares)
     cz = index.dc.mul_vec(z_shares)
@@ -161,7 +167,7 @@ def prove_rep3(
     res1 = SC.prove(
         FR,
         state,
-        [eq_tau, az, bz, cz],
+        [az, bz, cz],
         degree=3,
         comb=_comb1_shared,
         masks=masks1,
@@ -169,11 +175,12 @@ def prove_rep3(
         zk_mask=zk1,
         round_consts=[(crng.key_data, jnp.uint32(500_000 + j))
                       for j in range(nv)],
+        eq_split=taus,
     )
     rx = res1.challenges
-    va = S.combine(FR, res1.final_polys[1])[0]
-    vb = S.combine(FR, res1.final_polys[2])[0]
-    vc = S.combine(FR, res1.final_polys[3])[0]
+    va = S.combine(FR, res1.final_polys[0])[0]
+    vb = S.combine(FR, res1.final_polys[1])[0]
+    vc = S.combine(FR, res1.final_polys[2])[0]
 
     state = res1.state
     g1_vals = g1_proofs = None

@@ -114,10 +114,8 @@ def prove_rep3(wit_shared: lasso.LassoWitness, srs: pst13.SRS,
         ht.absorb_point(cm.xy)
 
     r = ht.challenges(log_n)
-    eq_r = P.eq_table(FR, F.from_int(FR, r))
     polys = (
-        [eq_r]
-        + [wit.flags[nm] for nm in wit.instr_names]
+        [wit.flags[nm] for nm in wit.instr_names]
         + [wit.e_polys[m] for m in wit.memories]
         + [wit.outputs]
     )
@@ -130,7 +128,8 @@ def prove_rep3(wit_shared: lasso.LassoWitness, srs: pst13.SRS,
     res = SC.prove(FR, ht.device_state(), polys, degree=degree, comb=comb,
                    consts=mono_consts, masks=masks, shared=True,
                    round_consts=[(crng.key_data, jnp.uint32(40_000 + j))
-                                 for j in range(log_n)])
+                                 for j in range(log_n)],
+                   eq_split=F.from_int(FR, r))
     ht.state = T.HostTranscript.from_device_state(res.state).state
     r_z = res.challenges
 

@@ -26,11 +26,28 @@ Memory model / conventions:
 - bytecode row 0 is a reserved zero row (padding steps fetch it); real
   instructions live at rows 1..len(program), so
   real_pc = code_base + 4*(bc_addr - 1).
-- registers: one logical memory, 3 read-modify-write slots per step
+- registers: one logical memory (64 entries: x0..x31 architectural +
+  v0..v31 virtual-sequence scratch), 3 read-modify-write slots per step
   (rs1, rs2, rd) with per-slot counter columns; x0 stays 0 because the rd
   write-back chain forces rd_val = rd_pre when cf_rdnz = 0.
 - RAM: word-addressed slots (addr = 4*slot + ram_base); non-store steps
   write back the read value (rmw no-op), enforced by uniform Spartan.
+  JoltDevice I/O (read_write_memory/coordinator.rs:18-76): public input
+  words seed the init image (slots 0..); the top 2^out_bits slots are the
+  OUTPUT region, revealed in the proof and pinned by one ram_final opening
+  at the output subcube (see verify step 6).
+- DELIBERATE DEVIATION — per-address access counters instead of the
+  reference's global timestamps: the reference stamps every access with a
+  global step timestamp and must range-check (t_global - t_read) via Spice
+  (timestamp_range_check.rs:14-50, a 4-memory subsystem with its own
+  committed columns). Here each address carries a local access counter
+  (the classic offline-memory-checking tuple (a, v, c)): the multiset
+  argument alone forces read counter = #prior accesses — sound with NO
+  range check while total accesses < field characteristic, deleting the
+  whole range-check subsystem (fewer committed columns, fewer GKR
+  instances). models/jolt/timestamp.py implements the reference-style
+  global-timestamp range check standalone (tested) for the variant that
+  needs it (e.g. streaming provers that cannot replay counters).
 - chunk-range memories: addresses 2^BYTE * chx_i (value = address, zero
   counters init) range-check the operand chunk columns against [0, M) —
   with ranged chunks the per-chunk dim constraints pin the operand
@@ -87,6 +104,15 @@ class JoltProof(NamedTuple):
     mem_bits: int
     code_base: int
     ram_base: int
+    # JoltDevice program I/O (read_write_memory/coordinator.rs:18-76):
+    # public input words seed the RAM init image; outputs are the final
+    # values of the top 2^out_bits RAM slots, proven by ONE ram_final
+    # opening at (r_low, 1...1) — the output region is a dyadic subcube, so
+    # the region-restricted claim is a point evaluation (no extra sumcheck)
+    inputs: tuple = ()
+    outputs: tuple = ()
+    out_bits: int | None = None
+    out_opening: object = None
 
 
 # --- public structure derived from the program ------------------------------
@@ -183,7 +209,7 @@ def m_column_order(instr_names, mem_bits, r_pad):
 
 
 def build_columns(trace, program_words, instr_names, mem_bits,
-                  code_base, ram_base):
+                  code_base, ram_base, ram_init=None):
     """Replay the trace into per-ROW columns + init/final images.
 
     Each architectural trace step expands into its virtual-sequence rows
@@ -229,7 +255,7 @@ def build_columns(trace, program_words, instr_names, mem_bits,
 
     regs = [0] * SEQ.N_REGS
     reg_ct = {}
-    ram = {}
+    ram = {k: w for k, w in enumerate(ram_init or []) if w}
     ram_ct = {}
     bc_ct = {}
     lasso_ct = {m: {} for m in mems}
@@ -244,6 +270,7 @@ def build_columns(trace, program_words, instr_names, mem_bits,
         return regs[a]
 
     x0_cur = y0_cur = 0     # original operand values at sequence entry
+    xq_col, yq_col, sched = [0] * n, [0] * n, [None] * n
     for t in range(n):
         row, bc_a = flat[t] if t < n_real else (None, 0)
         if row is None:
@@ -293,6 +320,7 @@ def build_columns(trace, program_words, instr_names, mem_bits,
             dims = spec.to_indices(x_q, y_q)
         else:
             dims = [0] * c
+        xq_col[t], yq_col[t], sched[t] = x_q, y_q, lk
         cols["lookup_out"][t] = out
         for i in range(c):
             cols[f"dim_{i}"][t] = dims[i]
@@ -364,7 +392,8 @@ def build_columns(trace, program_words, instr_names, mem_bits,
     m_cols["ram_final"] = [ram.get(s, 0) for s in range(1 << mem_bits)]
     m_cols["ram_final_ct"] = [ram_ct.get(s, 0) for s in range(1 << mem_bits)]
     m_cols["bc_fct"] = [bc_ct.get(a, 0) for a in range(r_pad)]
-    return cols, m_cols, n, r_pad
+    wgen = {"xq": xq_col, "yq": yq_col, "sched": sched}
+    return cols, m_cols, n, r_pad, wgen
 
 
 # --- fingerprints -----------------------------------------------------------
@@ -438,6 +467,9 @@ class PlainBackend:
 
     def batch_open(self, srs, tables, eta, point):
         return pst13.batch_open(srs, tables, eta, point)
+
+    def open_at(self, srs, table, point):
+        return pst13.open_at(srs, table, point)
 
 
 class Rep3Backend:
@@ -528,61 +560,143 @@ class Rep3Backend:
     def batch_open(self, srs, tables, eta, point):
         return mpc_pcs.batch_open_shares(srs, tables, eta, point)
 
+    def open_at(self, srs, table, point):
+        return mpc_pcs.open_shares(srs, table, point)
+
 
 # --- prover -----------------------------------------------------------------
 
 
 def prove(program_words, srs: pst13.SRS, mem_bits: int = 8,
           max_steps: int = 1 << 12, memory=None,
-          code_base: int = 0x400, ram_base: int = 0x100) -> JoltProof:
+          code_base: int = 0x400, ram_base: int = 0x100,
+          inputs=None, out_bits: int | None = None) -> JoltProof:
+    """``inputs``: public u32 words seeded into RAM slots 0.. (the guest
+    reads them with LW at ram_base + 4k). ``out_bits``: reserve the top
+    2^out_bits RAM slots as the OUTPUT region — their final values are
+    revealed in the proof and checked by the verifier (JoltDevice I/O)."""
     return _prove_impl(PlainBackend(), program_words, srs, mem_bits,
-                       max_steps, memory, code_base, ram_base)
+                       max_steps, memory, code_base, ram_base,
+                       inputs=inputs, out_bits=out_bits)
 
 
 def prove_rep3(program_words, srs: pst13.SRS, mem_bits: int = 8,
                max_steps: int = 1 << 12, memory=None,
                code_base: int = 0x400, ram_base: int = 0x100,
-               share_key=None, mask_key=None) -> JoltProof:
-    """Rep3 MPC proving of the full linked Jolt zkVM (coordinator witness
-    model: the trace holder secret-shares all columns — maps
+               share_key=None, mask_key=None,
+               witness_mode: str = "coordinator",
+               inputs=None, out_bits: int | None = None) -> JoltProof:
+    """Rep3 MPC proving of the full linked Jolt zkVM (maps
     JoltRep3::init_rep3 + prove_rep3, jolt/vm/jolt/coordinator.rs:35-223).
     Produces the SAME JoltProof object, verified by the standard verifier,
-    bit-identical to the single-party proof."""
+    bit-identical to the single-party proof.
+
+    ``witness_mode``:
+    - "coordinator": the trace holder secret-shares every column.
+    - "mpc": only the per-row OPERANDS are ring-shared (2 columns); every
+      lookup-layer column — dims, operand chunks, subtable reads, all
+      read/final counters, range counters, collated outputs — is computed
+      share-side by models/jolt/mpc_witness (a2b bit banks + one-hot
+      tensor chains + scan counters), so no party materializes them in
+      plaintext (maps generate_witness_rep3,
+      jolt/vm/jolt/witness.rs:129-181 + instruction_lookups/witness.rs:52-210).
+    """
     be = Rep3Backend(
         share_key if share_key is not None else jax.random.key(11),
         mask_key if mask_key is not None else jax.random.key(13),
     )
     return _prove_impl(be, program_words, srs, mem_bits, max_steps, memory,
-                       code_base, ram_base)
+                       code_base, ram_base, witness_mode=witness_mode,
+                       inputs=inputs, out_bits=out_bits)
+
+
+def _mpc_lookup_columns(be, wgen, instr_names, n):
+    """Share-side lookup witness from ring-shared operands. Returns
+    (trace-domain stacks, init/final-domain stacks) keyed by column name."""
+    from . import mpc_witness as MW
+
+    kx = jax.random.fold_in(be.share_key, 999_001)
+    kw = jax.random.fold_in(be.share_key, 999_002)
+    xr, yr = MW.share_operands(kx, wgen["xq"], wgen["yq"])
+    wit, chunks = MW.generate_witness_rep3(
+        kw, xr, yr, wgen["sched"], instr_names=instr_names, pad_to=n,
+        operand_chunks=True)
+    tdev = {"lookup_out": wit.outputs}
+    for i in range(ST.C):
+        tdev[f"dim_{i}"] = wit.dims[i]
+        tdev[f"chx_{i}"] = chunks[f"chx_{i}"]
+        tdev[f"chy_{i}"] = chunks[f"chy_{i}"]
+        tdev[f"rngx_ct_{i}"] = chunks[f"rngx_ct_{i}"]
+        tdev[f"rngy_ct_{i}"] = chunks[f"rngy_ct_{i}"]
+    for sub, ch in wit.memories:
+        tdev[f"E_{sub}_{ch}"] = wit.e_polys[(sub, ch)]
+        tdev[f"lct_{sub}_{ch}"] = wit.read_cts[(sub, ch)]
+    mdev = {}
+    for sub, ch in wit.memories:
+        mdev[f"fct_{sub}_{ch}"] = wit.final_cts[(sub, ch)]
+    for i in range(ST.C):
+        mdev[f"rngx_fct_{i}"] = chunks[f"rngx_fct_{i}"]
+        mdev[f"rngy_fct_{i}"] = chunks[f"rngy_fct_{i}"]
+    return tdev, mdev
 
 
 def _prove_impl(be, program_words, srs, mem_bits, max_steps, memory,
-                code_base, ram_base) -> JoltProof:
+                code_base, ram_base,
+                witness_mode: str = "coordinator",
+                inputs=None, out_bits: int | None = None) -> JoltProof:
+    inputs = [v & MASK32 for v in (inputs or [])]
+    assert len(inputs) <= (1 << mem_bits) - ((1 << out_bits) if out_bits
+                                             else 0)
+    # seed guest memory with the public input words (JoltDevice inputs)
+    memory = dict(memory or {})
+    for k, w in enumerate(inputs):
+        for b in range(4):
+            memory[ram_base + 4 * k + b] = (w >> (8 * b)) & 0xFF
     emu = rv.Emulator(program_words, base=code_base, memory=memory,
                       max_steps=max_steps)
     trace = emu.run()
     instr_names = instr_set_for(program_words, code_base)
     cs = US.build(instr_names, code_base, ram_base)
-    cols, m_cols, n, r_pad = build_columns(
-        trace, program_words, instr_names, mem_bits, code_base, ram_base)
+    cols, m_cols, n, r_pad, wgen = build_columns(
+        trace, program_words, instr_names, mem_bits, code_base, ram_base,
+        ram_init=inputs)
     US.compute_aux(cs, cols, n)
     US.check_witness(cs, cols, n)
     log_n = n.bit_length() - 1
     mems = INS.memories_for(instr_names)
     image = bytecode_image(program_words, instr_names, code_base)
 
-    # device tables (plain or Rep3-shared, per backend)
+    # device tables (plain or Rep3-shared, per backend); in mpc witness
+    # mode the lookup-layer columns come from shared-operand MPC generation
+    t_mpc, m_mpc = {}, {}
+    if witness_mode == "mpc":
+        assert be.shared, "witness_mode='mpc' requires the Rep3 backend"
+        t_mpc, m_mpc = _mpc_lookup_columns(be, wgen, instr_names, n)
     t_order = t_column_order(cs, instr_names)
-    dev = be.make_dev({k: cols[k] for k in t_order})
+    dev = be.make_dev({k: cols[k] for k in t_order if k not in t_mpc})
+    dev.update(t_mpc)
     nxt = be.make_dev({c + "_next": cols[c + "_next"]
                        for c in US.SHIFT_COLS})
     dev.update(nxt)
     m_order = m_column_order(instr_names, mem_bits, r_pad)
     mdev = be.make_dev({nm: m_cols[nm]
-                        for names in m_order.values() for nm in names})
+                        for names in m_order.values() for nm in names
+                        if nm not in m_mpc})
+    mdev.update(m_mpc)
+
+    # JoltDevice public I/O: outputs = final values of the top output slots
+    outputs = ()
+    if out_bits is not None:
+        out_lo = (1 << mem_bits) - (1 << out_bits)
+        outputs = tuple(m_cols["ram_final"][s]
+                        for s in range(out_lo, 1 << mem_bits))
 
     ht = T.HostTranscript(LABEL)
     ht.absorb(n)
+    for v in inputs:
+        ht.absorb(v)
+    for v in outputs:
+        ht.absorb(v)
     comms = {}
     for k in t_column_order(cs, instr_names):
         cm = be.commit(srs, dev[k])
@@ -603,10 +717,10 @@ def _prove_impl(be, program_words, srs, mem_bits, max_steps, memory,
         t_claims.append((table, point_dev, v))
         return v
 
-    # 1. Lasso primary sumcheck (collation zerocheck over the trace domain)
+    # 1. Lasso primary sumcheck (collation zerocheck over the trace
+    # domain; Dao-Thaler split-eq)
     r = ht.challenges(log_n)
-    eq_r = P.eq_table(FR, F.from_int(FR, r))
-    polys = ([eq_r] + [dev[f"flag_{nm}"] for nm in instr_names]
+    polys = ([dev[f"flag_{nm}"] for nm in instr_names]
              + [dev[f"E_{s}_{c}"] for s, c in mems] + [dev["lookup_out"]])
     degree = 2 + max(INS.INSTRUCTIONS[nm].degree for nm in instr_names)
     comb, mono_consts = lasso.monomial_setup(instr_names, mems,
@@ -614,7 +728,8 @@ def _prove_impl(be, program_words, srs, mem_bits, max_steps, memory,
     res = SC.prove(FR, ht.device_state(), polys, degree=degree, comb=comb,
                    consts=mono_consts, masks=be.sc_masks(log_n, degree, 10),
                    shared=be.shared,
-                   round_consts=be.mul_mask_consts(log_n, 10))
+                   round_consts=be.mul_mask_consts(log_n, 10),
+                   eq_split=F.from_int(FR, r))
     ht.state = T.HostTranscript.from_device_state(res.state).state
     r_z = res.challenges
     for nm in instr_names:
@@ -688,7 +803,9 @@ def _prove_impl(be, program_words, srs, mem_bits, max_steps, memory,
                 leaves.append(be.fp(gamma, tau_i, addr_s, [mdev["reg_final"]],
                                     mdev["reg_final_ct"]))
             elif kind == "ram":
-                leaves.append(be.fp(gamma, tau_i, addr_s, [zero_p], zero_p))
+                v_init = inputs + [0] * (s - len(inputs))
+                vi = be.lift(F.from_int(FR, v_init))
+                leaves.append(be.fp(gamma, tau_i, addr_s, [vi], zero_p))
                 leaves.append(be.fp(gamma, tau_i, addr_s, [mdev["ram_final"]],
                                     mdev["ram_final_ct"]))
             elif kind == "bytecode":
@@ -737,6 +854,18 @@ def _prove_impl(be, program_words, srs, mem_bits, max_steps, memory,
                               F.from_int(FR, eta), rho_if[s])
         m_open[s] = pr
 
+    # 6. output-region claim: the output subcube has its high address bits
+    # all-1, so ram_final restricted to it evaluated at r_low IS
+    # ram_final(r_low, 1..1) — one opening, no extra sumcheck
+    out_opening = None
+    if out_bits is not None:
+        r_low = ht.challenges(out_bits)
+        pt = r_low + [1] * (mem_bits - out_bits)
+        v_out, out_opening = be.open_at(srs, mdev["ram_final"],
+                                        F.from_int(FR, pt))
+        assert v_out == _mle_eval_ints(list(outputs), r_low)
+        ht.absorb(v_out)
+
     return JoltProof(
         comms={k: v.xy for k, v in comms.items()},
         primary_msgs=SC.round_msgs_to_ints(res.round_msgs),
@@ -750,6 +879,10 @@ def _prove_impl(be, program_words, srs, mem_bits, max_steps, memory,
         mem_bits=mem_bits,
         code_base=code_base,
         ram_base=ram_base,
+        inputs=tuple(inputs),
+        outputs=outputs,
+        out_bits=out_bits,
+        out_opening=out_opening,
     )
 
 
@@ -786,7 +919,13 @@ def _mle_eval_ints(values, rho):
     return sum(v % MOD * e for v, e in zip(values, table)) % MOD
 
 
-def verify(proof: JoltProof, program_words, srs: pst13.SRS) -> bool:
+def verify(proof: JoltProof, program_words, srs: pst13.SRS,
+           inputs=None) -> bool:
+    """``inputs``: the public input words the verifier expects (optional —
+    when given, the proof must be bound to exactly these)."""
+    if inputs is not None and tuple(v & MASK32 for v in inputs) != \
+            tuple(proof.inputs):
+        return False
     try:
         instr_names = instr_set_for(program_words, proof.code_base)
     except (NotImplementedError, ValueError, KeyError):
@@ -803,8 +942,15 @@ def verify(proof: JoltProof, program_words, srs: pst13.SRS) -> bool:
     logical = _logical_memories(instr_names, proof.mem_bits, r_pad)
     ev = proof.evals
 
+    if proof.out_bits is not None and \
+            len(proof.outputs) != (1 << proof.out_bits):
+        return False
     ht = T.HostTranscript(LABEL)
     ht.absorb(n)
+    for v in proof.inputs:
+        ht.absorb(v)
+    for v in proof.outputs:
+        ht.absorb(v)
     t_order = t_column_order(cs, instr_names)
     for k in t_order:
         if k not in proof.comms:
@@ -913,7 +1059,10 @@ def verify(proof: JoltProof, program_words, srs: pst13.SRS) -> bool:
                                     [ev[("if", s, "reg_final")]],
                                     ev[("if", s, "reg_final_ct")])
                 elif kind == "ram":
-                    fp_i = _fp_ints(gamma, tau, idx_eval, [0], 0)
+                    v_init = list(proof.inputs) + \
+                        [0] * (s - len(proof.inputs))
+                    fp_i = _fp_ints(gamma, tau, idx_eval,
+                                    [_mle_eval_ints(v_init, rho_s)], 0)
                     fp_f = _fp_ints(gamma, tau, idx_eval,
                                     [ev[("if", s, "ram_final")]],
                                     ev[("if", s, "ram_final_ct")])
@@ -991,6 +1140,20 @@ def verify(proof: JoltProof, program_words, srs: pst13.SRS) -> bool:
                                       prods_if[("rho", s)], agg,
                                       proof.m_openings[s]):
                 return False
+
+        # 6. JoltDevice output claim: ram_final(r_low, 1..1) must equal the
+        # MLE of the revealed outputs at r_low (the output subcube)
+        if proof.out_bits is not None:
+            ob, mb = proof.out_bits, proof.mem_bits
+            r_low = ht.challenges(ob)
+            pt = r_low + [1] * (mb - ob)
+            v_out = _mle_eval_ints(list(proof.outputs), r_low)
+            ram_cm = pst13.Commitment(
+                proof.comms[("m", 1 << mb, "ram_final")])
+            if not pst13.verify(srs, ram_cm, pt, v_out,
+                                proof.out_opening):
+                return False
+            ht.absorb(v_out)
     except (KeyError, ValueError, IndexError):
         return False
     return True

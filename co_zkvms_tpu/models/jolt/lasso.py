@@ -252,19 +252,17 @@ def prove(wit: LassoWitness, srs: pst13.SRS) -> LassoProof:
         comms[key] = cm
         ht.absorb_point(cm.xy)
 
-    # 2. primary sumcheck (zerocheck)
+    # 2. primary sumcheck (zerocheck; Dao-Thaler split-eq)
     r = ht.challenges(log_n)
-    eq_r = P.eq_table(FR, F.from_int(FR, r))
     polys = (
-        [eq_r]
-        + [wit.flags[nm] for nm in wit.instr_names]
+        [wit.flags[nm] for nm in wit.instr_names]
         + [wit.e_polys[m] for m in wit.memories]
         + [wit.outputs]
     )
     degree = 2 + max(INS.INSTRUCTIONS[nm].degree for nm in wit.instr_names)
     comb, mono_consts = monomial_setup(wit.instr_names, wit.memories)
     res = SC.prove(FR, ht.device_state(), polys, degree=degree, comb=comb,
-                   consts=mono_consts)
+                   consts=mono_consts, eq_split=F.from_int(FR, r))
     ht.state = T.HostTranscript.from_device_state(res.state).state
     r_z = res.challenges
 

@@ -103,6 +103,10 @@ def _mode_chunk_bits(mode: str, chunk: int):
     """Ordered (source, bit) list (LSB first) for chunk ``chunk`` of an
     index mode — mirrors SubtableSpec.to_indices bit layouts."""
     c, logm, byte, word = ST.C, ST.LOG_M, ST.BYTE, ST.WORD
+    if mode == "adv":
+        # advice lookups: the shared x operand IS the advice value; its
+        # chunks are the index (instructions.py InstrSpec.to_indices "adv")
+        mode = "x"
     if mode in ("sum", "diff", "prod", "x"):
         base = logm * (c - 1 - chunk)
         return [("idx_" + mode, base + j) for j in range(logm)]
@@ -118,17 +122,25 @@ def _mode_chunk_bits(mode: str, chunk: int):
 
 
 def generate_witness_rep3(key, x_ring, y_ring, schedule, instr_names=None,
-                          pad_to=None) -> lasso.LassoWitness:
+                          pad_to=None, operand_chunks=False):
     """Build the full shared Lasso witness from Rep3 ring-shared operands.
 
-    ``x_ring``/``y_ring``: [3, n_real] u32 ring share stacks.
-    ``schedule``: public list of instruction names, one per real step
-    (bytecode-derived). Returns a LassoWitness whose polynomial fields are
-    [3, ., 16] Rep3 stacks, drop-in for co_lasso.prove_rep3; combining the
-    stacks reproduces lasso.build_witness on the plaintext queries exactly.
+    ``x_ring``/``y_ring``: [3, n_real, 2] Z_2^64 ring share stacks.
+    ``schedule``: public list, one entry per real step (bytecode-derived):
+    an instruction name, or None for a step with no lookup (load/store/LUI
+    rows in the linked zkVM). Returns a LassoWitness whose polynomial
+    fields are [3, ., 16] Rep3 stacks, drop-in for co_lasso.prove_rep3;
+    combining the stacks reproduces lasso.build_witness on the plaintext
+    queries exactly.
+
+    ``operand_chunks=True`` additionally returns the linked zkVM's operand
+    chunk columns and range-memory counters (chx_i/chy_i, rngx_ct_i/
+    rngy_ct_i, rngx_fct_i/rngy_fct_i) computed share-side from the x/y bit
+    banks — the full jolt.prove_rep3 witness_mode="mpc" needs them
+    (jolt/vm/jolt/witness.rs:129-181). Return becomes (witness, chunks).
     """
     if instr_names is None:
-        instr_names = tuple(sorted(set(schedule)))
+        instr_names = tuple(sorted({s for s in schedule if s is not None}))
     memories = tuple(INS.memories_for(instr_names))
     n_real = len(schedule)
     n = pad_to or max(4, 1 << (n_real - 1).bit_length())
@@ -161,11 +173,12 @@ def generate_witness_rep3(key, x_ring, y_ring, schedule, instr_names=None,
 
     # --- bit banks per source ------------------------------------------
     bank = _BitBank(n)
-    if any(m in ("xy", "shift", "x") for m in modes):
+    if operand_chunks or any(m in ("xy", "shift", "x", "adv")
+                             for m in modes):
         bank.add("x", B.b2a_bits_fr(B.a2b(x32, keys[1]), word), word)
-    if any(m in ("xy", "shift") for m in modes):
+    if operand_chunks or any(m in ("xy", "shift") for m in modes):
         bank.add("y", B.b2a_bits_fr(B.a2b(y32, keys[2]), word), word)
-    if "x" in modes:
+    if "x" in modes or "adv" in modes:
         bank.add("idx_x", bank.banks["x"][0], word)
     if "sum" in modes:
         s = R.add(R.U64R, x_ring, y_ring)           # exact: word+1 bits
@@ -183,6 +196,8 @@ def generate_witness_rep3(key, x_ring, y_ring, schedule, instr_names=None,
     flag_np = {m: np.zeros(n, dtype=np.int64) for m in modes}
     instr_flag_np = {nm: np.zeros(n, dtype=np.int64) for nm in instr_names}
     for t, nm in enumerate(schedule):
+        if nm is None:
+            continue            # no-lookup step (pad-flagged below)
         flag_np[INS.INSTRUCTIONS[nm].index_mode][t] = 1
         instr_flag_np[nm][t] = 1
     pad_np = np.ones(n, dtype=np.int64)
@@ -270,7 +285,7 @@ def generate_witness_rep3(key, x_ring, y_ring, schedule, instr_names=None,
             FR, out_acc,
             F.mul(FR, collated, sel_mont(instr_flag_np[nm])[None, :, :]))
 
-    return lasso.LassoWitness(
+    wit = lasso.LassoWitness(
         instr_names=tuple(instr_names),
         memories=memories,
         n=n,
@@ -282,3 +297,36 @@ def generate_witness_rep3(key, x_ring, y_ring, schedule, instr_names=None,
         read_cts=read_cts,
         final_cts=final_cts,
     )
+    if not operand_chunks:
+        return wit
+
+    # --- operand chunk columns + range-memory counters (linked zkVM) -----
+    byte = ST.BYTE
+    chunks = {}
+    for xy, src in (("x", "x"), ("y", "y")):
+        for i in range(c):
+            shift = byte * (c - 1 - i)
+            bits = [(src, shift + j) for j in range(byte)]
+            # chunk value: local linear recomposition
+            acc = _zero_stack(n)
+            for j, (s_, bi) in enumerate(bits):
+                b = bank.get(s_, bi)
+                if b is None:
+                    continue
+                acc = F.add(FR, acc, F.mul_small(FR, b, 1 << j))
+            chunks[f"ch{xy}_{i}"] = acc
+            # range memory: one-hot at address chunk << byte over [0, M)
+            ohv_b = _ohv_from_bits(bank, bits, n, crng,
+                                   tag=933_000 + 5_000 * (xy == "y")
+                                   + 100 * i)      # [3, n, 2^byte, 16]
+            spread = jnp.zeros((3, n, ST.M, F.NLIMBS), dtype=jnp.uint32)
+            spread = spread.at[:, :, :: (1 << byte), :].set(ohv_b)
+            incl = jax.lax.associative_scan(
+                lambda a, b2: F.add(FR, a, b2), spread, axis=1)
+            excl = F.sub(FR, incl, spread)
+            mask = crng.zero_shares(FR, 944_000 + 2 * i + (xy == "y"),
+                                    spread.shape[1:-1])
+            chunks[f"rng{xy}_ct_{i}"] = F.modsum(
+                FR, mpc.mul(FR, excl, spread, zero_mask=mask), axis=2)
+            chunks[f"rng{xy}_fct_{i}"] = incl[:, -1]    # [3, M, 16]
+    return wit, chunks

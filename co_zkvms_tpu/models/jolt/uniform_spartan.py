@@ -516,15 +516,15 @@ def prove(ht: T.HostTranscript, cs: ConstraintSystem, dev: dict,
     az, bz, cz = matvec_dev(cs, dev, n_steps, be)
 
     tau = ht.challenges(nv)
-    eq_tau = P.eq_table(FR, F.from_int(FR, tau))
-    res = SC.prove(FR, ht.device_state(), [eq_tau, az, bz, cz], degree=3,
+    res = SC.prove(FR, ht.device_state(), [az, bz, cz], degree=3,
                    comb=_comb_outer_shared if be.shared else _comb_outer,
                    masks=be.sc_masks(nv, 3, 1100), shared=be.shared,
-                   round_consts=be.mul_mask_consts(nv, 1101))
+                   round_consts=be.mul_mask_consts(nv, 1101),
+                   eq_split=F.from_int(FR, tau))
     ht.state = T.HostTranscript.from_device_state(res.state).state
-    az_v = be.open_scalar(res.final_polys[1][..., 0, :])
-    bz_v = be.open_scalar(res.final_polys[2][..., 0, :])
-    cz_v = be.open_scalar(res.final_polys[3][..., 0, :])
+    az_v = be.open_scalar(res.final_polys[0][..., 0, :])
+    bz_v = be.open_scalar(res.final_polys[1][..., 0, :])
+    cz_v = be.open_scalar(res.final_polys[2][..., 0, :])
     for v in (az_v, bz_v, cz_v):
         ht.absorb(v)
     r = [int(v) for v in F.to_int(FR, res.challenges)]

@@ -172,20 +172,20 @@ def prove(index: SpartanIndex, srs: pst13.SRS, z_ints, dfs=None,
     state = ht.device_state()
     state, taus = T.challenge_fes(state, nv)
 
-    # Az, Bz, Cz and first sumcheck
+    # Az, Bz, Cz and first sumcheck (Dao-Thaler split-eq: the eq factor is
+    # per-round suffix tables + scalars, never streamed/bound full-size)
     def _phase_sc1():
-        eq_tau = P.eq_table(FR, taus)
         az = index.da.mul_vec(z_table)
         bz = index.db.mul_vec(z_table)
         cz = index.dc.mul_vec(z_table)
-        return SC.prove(FR, state, [eq_tau, az, bz, cz], degree=3,
-                        comb=_comb1, zk_mask=zk1)
+        return SC.prove(FR, state, [az, bz, cz], degree=3,
+                        comb=_comb1, zk_mask=zk1, eq_split=taus)
 
     res1 = ck.phase("sumcheck1", _phase_sc1)
     rx = res1.challenges
-    va = res1.final_polys[1][0]
-    vb = res1.final_polys[2][0]
-    vc = res1.final_polys[3][0]
+    va = res1.final_polys[0][0]
+    vb = res1.final_polys[1][0]
+    vc = res1.final_polys[2][0]
 
     state = res1.state
     g1_vals = g1_proofs = None

@@ -137,7 +137,6 @@ def prove_batched(state, leaves, shared: bool = False, masks_rng=None,
         else:
             state, coeff_chal = T.challenge_fe(state)
             coeffs = _powers(coeff_chal, b)
-            eq_r = P.eq_table(FR, point)
             nrounds = k - 1
             masks = None
             round_consts = None
@@ -152,14 +151,14 @@ def prove_batched(state, leaves, shared: bool = False, masks_rng=None,
                     for j in range(nrounds)
                 ]
             res = SC.prove(
-                FR, state, [eq_r, left, right], degree=3,
+                FR, state, [left, right], degree=3,
                 comb=_comb_gkr_shared if shared else _comb_gkr,
                 consts=(coeffs,), masks=masks, shared=shared,
-                round_consts=round_consts,
+                round_consts=round_consts, eq_split=point,
             )
             state = res.state
             msgs = SC.round_msgs_to_ints(res.round_msgs)
-            left, right = res.final_polys[1], res.final_polys[2]
+            left, right = res.final_polys[0], res.final_polys[1]
             point = res.challenges
         l_vals = _open(left, shared)[..., 0, :]   # [B, 16]
         r_vals = _open(right, shared)[..., 0, :]
@@ -256,7 +255,6 @@ def prove_toggled(state, flags, fps, shared: bool = False, masks_rng=None,
     b = flags.shape[0]
     state, rho = T.challenge_fe(state)
     coeffs = _powers(rho, b)
-    eq_r = P.eq_table(FR, point)
     masks = None
     nrounds = point.shape[0]
     if shared and masks_rng is not None:
@@ -265,17 +263,17 @@ def prove_toggled(state, flags, fps, shared: bool = False, masks_rng=None,
             for j in range(nrounds)
         ])
     res = SC.prove(
-        FR, state, [eq_r, flags, fps], degree=3,
+        FR, state, [flags, fps], degree=3,
         comb=_comb_toggled_shared if shared else _comb_toggled,
-        consts=(coeffs,), masks=masks, shared=shared,
+        consts=(coeffs,), masks=masks, shared=shared, eq_split=point,
     )
     state = res.state
-    fp_fin = res.final_polys[2]
+    fp_fin = res.final_polys[1]
     if shared:
         fp_vals = Sh.combine(FR, fp_fin)[..., 0, :]
     else:
         fp_vals = fp_fin[..., 0, :]
-    flag_vals = res.final_polys[1][..., 0, :]
+    flag_vals = res.final_polys[0][..., 0, :]
     state = T.absorb_fes(FR, state, fp_vals)
     proof = ToggledProof(
         gp=gp,

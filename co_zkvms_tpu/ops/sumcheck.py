@@ -65,6 +65,47 @@ def _pad_elems(p, target):
     return jnp.pad(p, pad)
 
 
+def eq_suffix_tables(spec, taus):
+    """Dao-Thaler split-eq precompute (maps co-jolt
+    poly/dense_interleaved_poly.rs:210-273 / split_eq_poly.rs): suffix
+    tables S_j[y] = eq(taus[j+1:], y) for every round j, sizes
+    2^(nv-1-j) .. 1, built LSB-first by ONE doubling sweep (the
+    intermediates of the eq-table build ARE the suffix tables).
+
+    With these, round j's message is
+
+        g_j(t) = c_j * eq(tau_j, t) * sum_y S_j[y] * comb(tables_t[y]),
+        c_{j+1} = c_j * eq(tau_j, r_j),   c_0 = 1,
+
+    so the eq factor is never STREAMED nor BOUND: a degree-3 outer round
+    drops from 4 table streams + 4 binds to 3 + 3 with a half-size
+    read-only suffix — identical round messages, same proofs.
+    Returns (suffix list [nv], full eq table)."""
+    nv = taus.shape[0]
+    one = F.ones_mont(spec)
+    t = one[None]                            # [1, 16]
+    suf = [None] * nv
+    for j in range(nv - 1, -1, -1):
+        suf[j] = t
+        w = taus[j]
+        t1 = F.mul(spec, t, jnp.broadcast_to(w, t.shape))
+        t0 = F.sub(spec, t, t1)              # (1-w) * t
+        t = jnp.stack([t0, t1], axis=1).reshape(-1, F.NLIMBS)
+    return suf, t
+
+
+def _eq_at_t(spec, w, degree: int):
+    """[degree+1, 16]: eq(w, t) = (1-w) + t*(2w - 1) for t = 0..degree."""
+    one = F.ones_mont(spec)
+    step = F.sub(spec, F.add(spec, w, w), one)       # 2w - 1
+    cur = F.sub(spec, one, w)
+    out = [cur]
+    for _ in range(degree):
+        cur = F.add(spec, cur, step)
+        out.append(cur)
+    return jnp.stack(out)
+
+
 def _t_stack(spec, even, slope, degree: int):
     """Restrictions at t = 0..degree stacked on a new axis -3.
 
@@ -133,40 +174,66 @@ def _zk_accum(spec, degree, coeffs, r, acc_a):
     return F.add(spec, acc_a, u_r)
 
 
+def _eq_r(spec, w, r):
+    """eq(w, r) = (1-w) + r*(2w - 1)."""
+    one = F.ones_mont(spec)
+    step = F.sub(spec, F.add(spec, w, w), one)
+    return F.add(spec, F.sub(spec, one, w), F.mul(spec, r, step))
+
+
+def _scale_msg(spec, msg, wj, cfac, degree, shared):
+    """Apply the split-eq round factor c_j * eq(tau_j, t) to the message."""
+    fac = F.mul(spec, _eq_at_t(spec, wj, degree),
+                jnp.broadcast_to(cfac, (degree + 1, F.NLIMBS)))
+    if shared:
+        fac = fac[None]
+    return F.mul(spec, msg, jnp.broadcast_to(fac, msg.shape))
+
+
 def _make_fixed_fn(spec: FieldSpec, degree: int, comb, shared: bool,
-                   zk: bool = False):
+                   zk: bool = False, eqsplit: bool = False):
     """Small-round kernel: tables at the FIXED_CUTOFF padded shape; bound
     halves are zero-padded back up, so one program serves every small round
     (requires comb(all-zero restrictions) == 0)."""
 
-    def round_fn(state, polys, mask=None, consts=None, zkarg=None):
+    def round_fn(state, polys, mask=None, consts=None, zkarg=None,
+                 eqarg=None):
         evens = [_elem_slice(p, slice(0, None, 2)) for p in polys]
         odds = [_elem_slice(p, slice(1, None, 2)) for p in polys]
         slopes = [F.sub(spec, o, e) for o, e in zip(odds, evens)]
         curs = [_t_stack(spec, e, s, degree) for e, s in zip(evens, slopes)]
+        if eqsplit:
+            suffix, wj, cfac = eqarg
+            curs = [jnp.broadcast_to(suffix[None],
+                                     (degree + 1,) + suffix.shape)] + curs
         v = _comb_batched(spec, degree, comb, curs, consts,
                           jnp.uint32(0))
         msg = F.modsum(spec, v, v.ndim - 2)      # [(3,) degree+1, 16]
+        if eqsplit:
+            msg = _scale_msg(spec, msg, wj, cfac, degree, shared)
         msg = _open_msg(spec, msg, mask, shared)
         a_next = None
+        c_next = None
         if zk:
             msg = _zk_round(spec, degree, msg, zkarg)
         state = T.absorb_fes(spec, state, msg)
         state, r = T.challenge_fe(state)
         if zk:
             a_next = _zk_accum(spec, degree, zkarg[2], r, zkarg[6])
+        if eqsplit:
+            c_next = F.mul(spec, cfac, _eq_r(spec, wj, r))
         bound = [
             F.add(spec, e, F.mul(spec, jnp.broadcast_to(r, s.shape), s))
             for e, s in zip(evens, slopes)
         ]
         bound = [_pad_elems(b, polys[0].shape[-2]) for b in bound]
-        return state, r, msg, bound, a_next
+        return state, r, msg, bound, a_next, c_next
 
     return jax.jit(round_fn)
 
 
 def _make_chunked_fn(spec: FieldSpec, degree: int, comb, shared: bool,
-                     zk: bool = False):
+                     zk: bool = False, eqsplit: bool = False):
     """Large-round kernel: ONE compiled program for every round with active
     length > FIXED_CUTOFF.
 
@@ -178,9 +245,11 @@ def _make_chunked_fn(spec: FieldSpec, degree: int, comb, shared: bool,
     buffer prefix in place."""
 
     def round_fn(state, polys, h, n_chunks, mask=None, consts=None,
-                 zkarg=None):
+                 zkarg=None, eqarg=None):
         hh = CHUNK // 2
         pair_pos = jnp.arange(hh, dtype=jnp.uint32)
+        if eqsplit:
+            suf_buf, off, wj, cfac = eqarg
 
         def chunk_views(bufs, i):
             start = i * CHUNK
@@ -196,6 +265,12 @@ def _make_chunked_fn(spec: FieldSpec, degree: int, comb, shared: bool,
             evens, slopes = chunk_views(polys, i)
             curs = [_t_stack(spec, e, s, degree)
                     for e, s in zip(evens, slopes)]
+            if eqsplit:
+                suffix = jax.lax.dynamic_slice_in_dim(
+                    suf_buf, off + i * hh, hh, axis=0)
+                curs = [jnp.broadcast_to(suffix[None],
+                                         (degree + 1,) + suffix.shape)] \
+                    + curs
             v = _comb_batched(spec, degree, comb, curs, consts,
                               i.astype(jnp.uint32))
             valid = (i.astype(jnp.uint32) * jnp.uint32(hh) + pair_pos) \
@@ -207,14 +282,19 @@ def _make_chunked_fn(spec: FieldSpec, degree: int, comb, shared: bool,
         lead = (3,) if shared else ()
         acc0 = jnp.zeros(lead + (degree + 1, F.NLIMBS), dtype=jnp.uint32)
         msg = jax.lax.fori_loop(0, n_chunks, body_eval, acc0)
+        if eqsplit:
+            msg = _scale_msg(spec, msg, wj, cfac, degree, shared)
         msg = _open_msg(spec, msg, mask, shared)
         a_next = None
+        c_next = None
         if zk:
             msg = _zk_round(spec, degree, msg, zkarg)
         state = T.absorb_fes(spec, state, msg)
         state, r = T.challenge_fe(state)
         if zk:
             a_next = _zk_accum(spec, degree, zkarg[2], r, zkarg[6])
+        if eqsplit:
+            c_next = F.mul(spec, cfac, _eq_r(spec, wj, r))
 
         def body_bind(i, bufs):
             evens, slopes = chunk_views(bufs, i)
@@ -231,7 +311,7 @@ def _make_chunked_fn(spec: FieldSpec, degree: int, comb, shared: bool,
             ]
 
         new_polys = jax.lax.fori_loop(0, n_chunks, body_bind, list(polys))
-        return state, r, msg, new_polys, a_next
+        return state, r, msg, new_polys, a_next, c_next
 
     return jax.jit(round_fn)
 
@@ -296,6 +376,7 @@ def prove(
     consts=None,
     zk_mask=None,
     round_consts=None,
+    eq_split=None,
 ) -> SumcheckResult:
     """Run all sumcheck rounds. ``polys`` tables must share element length 2^nv.
 
@@ -312,19 +393,27 @@ def prove(
     ``consts`` each round — runtime data that must differ per round without
     recompiling (e.g. the correlated-rng counter feeding mul-chain reshare
     masks inside the comb). Shapes must be round-invariant.
+
+    ``eq_split``: optional [nv, 16] challenge array (Dao-Thaler split-eq):
+    ``polys`` must then EXCLUDE the eq table; the engine feeds each round's
+    comb a read-only half-size suffix table as polys[0] (combs are
+    unchanged) and applies the c_j * eq(tau_j, t) round factor — identical
+    round messages to passing eq_table(eq_split) as polys[0], but the eq
+    factor is never streamed full-size nor bound.
     """
     n = polys[0].shape[-2]
     nv = n.bit_length() - 1
     assert 1 << nv == n
     zk = zk_mask is not None
-    key_c = (spec, degree, comb, shared, zk, "chunk")
+    eqs = eq_split is not None
+    key_c = (spec, degree, comb, shared, zk, eqs, "chunk")
     if key_c not in _round_fn_cache:
         _round_fn_cache[key_c] = _make_chunked_fn(spec, degree, comb, shared,
-                                                  zk=zk)
-    key_f = (spec, degree, comb, shared, zk, "fixed")
+                                                  zk=zk, eqsplit=eqs)
+    key_f = (spec, degree, comb, shared, zk, eqs, "fixed")
     if key_f not in _round_fn_cache:
         _round_fn_cache[key_f] = _make_fixed_fn(spec, degree, comb, shared,
-                                                zk=zk)
+                                                zk=zk, eqsplit=eqs)
     chunk_fn = _round_fn_cache[key_c]
     fixed_fn = _round_fn_cache[key_f]
 
@@ -333,6 +422,19 @@ def prove(
         u_evals, suffix, pow_r, pow_r1, _ = zk_mask_precompute(
             spec, coeffs, degree)
         acc_a = jnp.zeros((F.NLIMBS,), dtype=jnp.uint32)
+    if eqs and nv == 0:
+        eqs = False
+    if eqs:
+        assert eq_split.shape[0] == nv
+        sufs, _ = eq_suffix_tables(spec, eq_split)
+        suf_buf = jnp.concatenate(sufs, axis=0)     # sizes n/2, n/4, .., 1
+        # tail pad: a late round's CHUNK/2-wide slice must stay in bounds
+        # (dynamic_slice clamps the start, which would shift the window)
+        suf_buf = _pad_elems(suf_buf, max(n, CHUNK) + CHUNK // 2)
+        suf_offs = [0]
+        for s_tab in sufs[:-1]:
+            suf_offs.append(suf_offs[-1] + s_tab.shape[0])
+        cfac = F.ones_mont(spec)
 
     in_fixed = n <= FIXED_CUTOFF
     if in_fixed:
@@ -358,16 +460,24 @@ def prove(
         cj = consts
         if round_consts is not None:
             cj = tuple(consts or ()) + tuple(round_consts[j])
+        eqarg = None
         if in_fixed:
-            state, r, msg, polys, a_next = fixed_fn(state, polys, mask, cj,
-                                                    zkarg)
+            if eqs:
+                eqarg = (_pad_elems(sufs[j], FIXED_CUTOFF // 2),
+                         eq_split[j], cfac)
+            state, r, msg, polys, a_next, c_next = fixed_fn(
+                state, polys, mask, cj, zkarg, eqarg)
         else:
+            if eqs:
+                eqarg = (suf_buf, jnp.int32(suf_offs[j]), eq_split[j], cfac)
             n_chunks = max(1, h // CHUNK)
-            state, r, msg, polys, a_next = chunk_fn(
+            state, r, msg, polys, a_next, c_next = chunk_fn(
                 state, polys, jnp.int32(h), jnp.int32(n_chunks), mask, cj,
-                zkarg)
+                zkarg, eqarg)
         if zk:
             acc_a = a_next
+        if eqs:
+            cfac = c_next
         rs.append(r)
         msgs.append(msg)
     # bound values live in the active prefix; index 0 is the final value

@@ -27,7 +27,9 @@ def srs():
 
 
 def guest_program():
-    """Arithmetic + branch + memory + shift + jump guest (16-bit-safe)."""
+    """Arithmetic + branch + memory + shift + jump + M-extension guest
+    (16-bit-safe). DIV/REM exercise the virtual-sequence expansion
+    (advice + validity asserts over the 64-register file)."""
     return [
         rv.asm("ADDI", rd=1, rs1=0, imm=17),
         rv.asm("ADDI", rd=2, rs1=0, imm=5),
@@ -41,6 +43,8 @@ def guest_program():
         rv.asm("BEQ", rs1=6, rs2=1, imm=8),    # taken -> skip next
         rv.asm("ADDI", rd=9, rs1=0, imm=99),   # skipped
         rv.asm("SLT", rd=10, rs1=2, rs2=1),    # 5 < 17 -> 1
+        rv.asm("DIV", rd=12, rs1=1, rs2=2),    # 17 / 5 = 3 (virtual seq)
+        rv.asm("REM", rd=13, rs1=1, rs2=2),    # 17 % 5 = 2 (virtual seq)
         rv.asm("JAL", rd=11, imm=8),           # jump over next
         rv.asm("ADDI", rd=9, rs1=0, imm=77),   # skipped
         rv.asm("ECALL"),
@@ -75,7 +79,8 @@ def test_jolt_rejects_wrong_program(srs, proof_and_prog):
     ("rt", "rd_val"),           # rd write-back linkage
     ("rt", "bc_addr"),          # pc vs bytecode
     ("rw", "ram_read"),         # RAM consistency
-    ("shift", "bc_addr"),       # cross-step pc progression
+    ("shift", "bc_pc"),         # cross-step pc progression
+    ("t0", "cf_ventry"),        # execution-start / sequence-entry pin
 ])
 def test_jolt_rejects_tampered_claims(srs, proof_and_prog, tag, name):
     proof, prog = proof_and_prog
@@ -129,3 +134,44 @@ def test_jolt_rep3_bit_identical(srs, proof_and_prog):
     assert proof3.comms == proof.comms
     assert proof3 == proof
     assert jolt.verify(proof3, prog, srs)
+
+
+@pytest.mark.slow
+def test_jolt_rep3_mpc_witness_bit_identical(srs, proof_and_prog):
+    """witness_mode='mpc': lookup-layer columns generated share-side from
+    ring-shared operands (a2b banks, OHV chains, scan counters) — the proof
+    is STILL bit-identical to single-party (VERDICT r2 #3)."""
+    proof, prog = proof_and_prog
+    proof3 = jolt.prove_rep3(prog, srs, mem_bits=4, witness_mode="mpc")
+    assert proof3.evals == proof.evals
+    assert proof3 == proof
+    assert jolt.verify(proof3, prog, srs)
+
+
+@pytest.mark.slow
+def test_jolt_device_io(srs):
+    """JoltDevice program I/O: the guest reads public inputs from the input
+    region, writes to the output region; the verifier checks the revealed
+    outputs against the committed final RAM image (output-subcube opening)
+    and rejects tampered outputs/inputs."""
+    # out_bits=1 -> output region = top 2 slots (14, 15); inputs at slots 0,1
+    prog = [
+        rv.asm("LW", rd=1, rs1=0, imm=0x100),       # r1 = in[0]
+        rv.asm("LW", rd=2, rs1=0, imm=0x104),       # r2 = in[1]
+        rv.asm("ADD", rd=3, rs1=1, rs2=2),
+        rv.asm("SUB", rd=4, rs1=1, rs2=2),
+        rv.asm("SW", rs1=0, rs2=3, imm=0x100 + 4 * 14),  # out[0] = r1+r2
+        rv.asm("SW", rs1=0, rs2=4, imm=0x100 + 4 * 15),  # out[1] = r1-r2
+        rv.asm("ECALL"),
+    ]
+    proof = jolt.prove(prog, srs, mem_bits=4, inputs=[41, 17], out_bits=1)
+    assert list(proof.outputs) == [58, 24]
+    assert jolt.verify(proof, prog, srs, inputs=[41, 17])
+    # binding: wrong expected inputs rejected
+    assert not jolt.verify(proof, prog, srs, inputs=[41, 18])
+    # tampered revealed output rejected
+    bad = proof._replace(outputs=(59, 24))
+    assert not jolt.verify(bad, prog, srs, inputs=[41, 17])
+    # tampered input list rejected (init fingerprint mismatch)
+    bad2 = proof._replace(inputs=(42, 17))
+    assert not jolt.verify(bad2, prog, srs, inputs=[42, 17])

@@ -125,6 +125,7 @@ def test_co_lasso_from_shared_operands():
     assert lasso.verify(proof3, names, log_n, srs)
 
 
+@pytest.mark.slow
 def test_mpc_witness_word32_wide_modes():
     """Architectural WORD=32 geometry (log_m=16): sum/diff indices are 33
     bits and prod indices 64 bits — exercises the 2-limb Z_2^64 ring adder

@@ -112,3 +112,67 @@ def test_rep3_sumcheck_with_masks(rng):
     # the shared final table still combines to x(r)
     xfin = int(F.to_int(FR, S.combine(FR, res.final_polys[1])[0]))
     assert xfin == xr
+
+
+def comb_eq3(polys):
+    eq, a, b = polys
+    return F.mul(FR, eq, F.mul(FR, a, b))
+
+
+def test_eq_split_identical_messages(rng):
+    """Dao-Thaler split-eq: SC.prove(eq_split=taus) produces IDENTICAL
+    round messages and challenges to passing the full eq table as polys[0]
+    — the eq factor is never streamed nor bound (VERDICT r2 #7)."""
+    for nv in (4, 13):           # fixed-only and chunked+fixed regimes
+        n = 1 << nv
+        taus_i = [rng.randrange(MOD) for _ in range(nv)]
+        a_i = [rng.randrange(MOD) for _ in range(n)]
+        b_i = [rng.randrange(MOD) for _ in range(n)]
+        taus = F.from_int(FR, taus_i)
+        a = F.from_int(FR, a_i)
+        b = F.from_int(FR, b_i)
+        eq = P.eq_table(FR, taus)
+
+        res_ref = SC.prove(FR, T.init(b"dt"), [eq, a, b], degree=3,
+                           comb=comb_eq3)
+        res_dt = SC.prove(FR, T.init(b"dt"), [a, b], degree=3,
+                          comb=comb_eq3, eq_split=taus)
+        assert _msgs_to_ints(res_dt.round_msgs) == \
+            _msgs_to_ints(res_ref.round_msgs), nv
+        assert [int(v) for v in F.to_int(FR, res_dt.challenges)] == \
+            [int(v) for v in F.to_int(FR, res_ref.challenges)]
+        # bound tables: dt's polys[0] is a, matching ref's polys[1]
+        assert int(F.to_int(FR, res_dt.final_polys[0][0])) == \
+            int(F.to_int(FR, res_ref.final_polys[1][0]))
+
+
+def test_eq_split_shared(rng):
+    """Split-eq on the Rep3 path: identical opened messages."""
+    nv = 5
+    n = 1 << nv
+    taus_i = [rng.randrange(MOD) for _ in range(nv)]
+    a_i = [rng.randrange(MOD) for _ in range(n)]
+    b_i = [rng.randrange(MOD) for _ in range(n)]
+    taus = F.from_int(FR, taus_i)
+    eq = P.eq_table(FR, taus)
+    a = F.from_int(FR, a_i)
+    b = F.from_int(FR, b_i)
+    crng = CorrelatedRng.create(jax.random.key(3))
+    masks = jnp.stack([crng.zero_shares(FR, j, (4,)) for j in range(nv)])
+
+    def comb_shared(polys):
+        eqp, ash, bsh = polys
+        return F.mul(FR, eqp[None], F.mul(FR, ash, S.b_component(bsh)))
+
+    def comb_pub(polys):
+        eqp, ap, bp = polys
+        return F.mul(FR, eqp, F.mul(FR, ap, bp))
+
+    # reference: plain prover on the plaintext product a * roll-combined b
+    a_sh = S.share(FR, jax.random.key(5), a)
+    b_sh = S.share(FR, jax.random.key(6), b)
+    ref = SC.prove(FR, T.init(b"dt3"), [eq, a_sh, b_sh], degree=3,
+                   comb=comb_shared, masks=masks, shared=True)
+    dt = SC.prove(FR, T.init(b"dt3"), [a_sh, b_sh], degree=3,
+                  comb=comb_shared, masks=masks, shared=True, eq_split=taus)
+    assert _msgs_to_ints(dt.round_msgs) == _msgs_to_ints(ref.round_msgs)
