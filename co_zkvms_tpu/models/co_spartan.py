@@ -96,6 +96,7 @@ def prove_rep3(
     dfs=None,
     zk_ctx=None,
     witness=None,
+    ckpt=None,
 ) -> SpartanProof:
     """3-party MPC Spartan prove (in-process simulation of all parties).
 
@@ -116,6 +117,23 @@ def prove_rep3(
     bit-identical to the single-party zk proof for the same zk rng stream.
     """
     from ..ops import zk as ZK
+    from ..utils import checkpoint as CK
+
+    if ckpt is not None and zk_ctx is not None:
+        raise ValueError("checkpointing is not supported with zk_ctx")
+    if isinstance(ckpt, CK.Checkpointer):
+        ck = ckpt
+    elif ckpt is not None:
+        from .spartan import _ckpt_registry
+
+        digest = CK.statement_digest(
+            "co_spartan.prove_rep3", index.nv,
+            "artifact" if z_ints is None else
+            (len(z_ints), tuple(z_ints[:4]), sum(z_ints) % MOD),
+            dfs is not None)
+        ck = CK.Checkpointer(ckpt, digest, registry=_ckpt_registry())
+    else:
+        ck = CK.Checkpointer.disabled()
 
     nv = index.nv
     share_key = share_key if share_key is not None else jax.random.key(0)
@@ -138,7 +156,7 @@ def prove_rep3(
     crng = CorrelatedRng.create(mask_key)
     zk_params, zk_rng = zk_ctx if zk_ctx is not None else (None, None)
 
-    w_comm = _commit_shares(srs, w_shares)
+    w_comm = ck.phase("commit", lambda: _commit_shares(srs, w_shares))
     if zk_ctx is not None:
         w_blinder = zk_rng.randrange(MOD)
         w_comm = ZK.hide_commitment(zk_params, w_comm, w_blinder)
@@ -164,7 +182,7 @@ def prove_rep3(
     cz = index.dc.mul_vec(z_shares)
 
     masks1 = jnp.stack([crng.zero_shares(FR, j, (4,)) for j in range(nv)])
-    res1 = SC.prove(
+    res1 = ck.phase("sumcheck1", lambda: SC.prove(
         FR,
         state,
         [az, bz, cz],
@@ -176,7 +194,7 @@ def prove_rep3(
         round_consts=[(crng.key_data, jnp.uint32(500_000 + j))
                       for j in range(nv)],
         eq_split=taus,
-    )
+    ))
     rx = res1.challenges
     va = S.combine(FR, res1.final_polys[0])[0]
     vb = S.combine(FR, res1.final_polys[1])[0]
@@ -212,7 +230,7 @@ def prove_rep3(
         state = ht2a.device_state()
 
     masks2 = jnp.stack([crng.zero_shares(FR, 1000 + j, (3,)) for j in range(nv)])
-    res2 = SC.prove(
+    res2 = ck.phase("sumcheck2", lambda: SC.prove(
         FR,
         state,
         [m_rx, z_shares],
@@ -221,7 +239,7 @@ def prove_rep3(
         masks=masks2,
         shared=True,
         zk_mask=zk2,
-    )
+    ))
     ry = res2.challenges
     val_m = int(F.to_int(FR, res2.final_polys[0][0]))
 
@@ -246,7 +264,8 @@ def prove_rep3(
             g2_vals=g2_vals, g2_proofs=g2_proofs, w_hiding=w_hiding,
         )
     else:
-        w_eval, w_proof = _open_shares(srs, w_shares, ry)
+        w_eval, w_proof = ck.phase(
+            "opening", lambda: _open_shares(srs, w_shares, ry))
 
     # succinct round 4 (Spark-logup over the committed index) runs on PUBLIC
     # data, so the MPC path reuses the single-party DFS prover verbatim —

@@ -62,9 +62,10 @@ def share_spec(mesh, extra_dims: int = 2):
     limbs. ``extra_dims``: trailing dims after the party axis (N and limbs)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    party = "party" if "party" in mesh.shape else None
     chunk = "chunk" if "chunk" in mesh.shape and mesh.shape["chunk"] > 1 \
         else None
-    parts = ("party", chunk) + (None,) * (extra_dims - 1)
+    parts = (party, chunk) + (None,) * (extra_dims - 1)
     return NamedSharding(mesh, P(*parts[: 1 + extra_dims]))
 
 
@@ -91,3 +92,18 @@ def process_role() -> tuple[int, int]:
     layout; used only for logging/artifact naming, never for control flow
     (the program is identical on every host)."""
     return jax.process_index(), jax.process_count()
+
+
+def remesh(stack, mesh):
+    """Re-place a share stack onto a DIFFERENT mesh (elastic resize).
+
+    Partial-mesh story (replaces the reference's dummy-worker + subnet
+    extend/trim machinery, mpc-net rep3/quic/coordinator.rs:610-634,
+    co-spartan worker.rs:848-935): the protocol phases are mesh-agnostic
+    global-view programs and Fiat-Shamir replay is deterministic, so after
+    losing (or gaining) devices a prover re-places its global arrays on the
+    surviving mesh and CONTINUES from the phase journal
+    (utils/checkpoint.py) — no per-worker message schedule exists to keep
+    aligned, which is why no dummy workers are needed. Exercised by
+    tests/test_elastic.py."""
+    return jax.device_put(stack, share_spec(mesh, extra_dims=stack.ndim - 1))
