@@ -40,13 +40,13 @@ def _consts():
 
 def _double_limbs(px, py, pz, m, n0):
     """dbl-2009-l on limb-vector lists; returns (x, y, z)."""
-    a = FP._mm(px, px, m, n0)
-    b = FP._mm(py, py, m, n0)
-    c = FP._mm(b, b, m, n0)
+    a = FP._msq(px, m, n0)
+    b = FP._msq(py, m, n0)
+    c = FP._msq(b, m, n0)
     xb = FP._madd(px, b, m)
-    d = FP._mdbl(FP._msub(FP._msub(FP._mm(xb, xb, m, n0), a, m), c, m), m)
+    d = FP._mdbl(FP._msub(FP._msub(FP._msq(xb, m, n0), a, m), c, m), m)
     e = FP._madd(FP._mdbl(a, m), a, m)
-    f = FP._mm(e, e, m, n0)
+    f = FP._msq(e, m, n0)
     x3 = FP._msub(f, FP._mdbl(d, m), m)
     c8 = FP._mdbl(FP._mdbl(FP._mdbl(c, m), m), m)
     y3 = FP._msub(FP._mm(e, FP._msub(d, x3, m), m, n0), c8, m)
@@ -60,25 +60,25 @@ def _add_mixed_kernel(px_ref, py_ref, pz_ref, qx_ref, qy_ref,
     px, py, pz = _load(px_ref), _load(py_ref), _load(pz_ref)
     qx, qy = _load(qx_ref), _load(qy_ref)
 
-    z1z1 = FP._mm(pz, pz, m, n0)
+    z1z1 = FP._msq(pz, m, n0)
     u2 = FP._mm(qx, z1z1, m, n0)
     s2 = FP._mm(qy, FP._mm(pz, z1z1, m, n0), m, n0)
     h = FP._msub(u2, px, m)
     r = FP._msub(s2, py, m)
     h_zero = FP._mis_zero(h)
     r_zero = FP._mis_zero(r)
-    hh = FP._mm(h, h, m, n0)
+    hh = FP._msq(h, m, n0)
     i = FP._mdbl(FP._mdbl(hh, m), m)
     j = FP._mm(h, i, m, n0)
     rr = FP._mdbl(r, m)
     v = FP._mm(px, i, m, n0)
-    x3 = FP._msub(FP._msub(FP._mm(rr, rr, m, n0), j, m), FP._mdbl(v, m), m)
+    x3 = FP._msub(FP._msub(FP._msq(rr, m, n0), j, m), FP._mdbl(v, m), m)
     y3 = FP._msub(
         FP._mm(rr, FP._msub(v, x3, m), m, n0),
         FP._mdbl(FP._mm(py, j, m, n0), m), m,
     )
     zh = FP._madd(pz, h, m)
-    z3 = FP._msub(FP._msub(FP._mm(zh, zh, m, n0), z1z1, m), hh, m)
+    z3 = FP._msub(FP._msub(FP._msq(zh, m, n0), z1z1, m), hh, m)
 
     dx, dy, dz = _double_limbs(px, py, pz, m, n0)
 
@@ -119,8 +119,8 @@ def _add_kernel(px_ref, py_ref, pz_ref, qx_ref, qy_ref, qz_ref,
     px, py, pz = _load(px_ref), _load(py_ref), _load(pz_ref)
     qx, qy, qz = _load(qx_ref), _load(qy_ref), _load(qz_ref)
 
-    z1z1 = FP._mm(pz, pz, m, n0)
-    z2z2 = FP._mm(qz, qz, m, n0)
+    z1z1 = FP._msq(pz, m, n0)
+    z2z2 = FP._msq(qz, m, n0)
     u1 = FP._mm(px, z2z2, m, n0)
     u2 = FP._mm(qx, z1z1, m, n0)
     s1 = FP._mm(py, FP._mm(qz, z2z2, m, n0), m, n0)
@@ -130,18 +130,18 @@ def _add_kernel(px_ref, py_ref, pz_ref, qx_ref, qy_ref, qz_ref,
     h_zero = FP._mis_zero(h)
     r_zero = FP._mis_zero(r)
     h2 = FP._mdbl(h, m)
-    i = FP._mm(h2, h2, m, n0)
+    i = FP._msq(h2, m, n0)
     j = FP._mm(h, i, m, n0)
     rr = FP._mdbl(r, m)
     v = FP._mm(u1, i, m, n0)
-    x3 = FP._msub(FP._msub(FP._mm(rr, rr, m, n0), j, m), FP._mdbl(v, m), m)
+    x3 = FP._msub(FP._msub(FP._msq(rr, m, n0), j, m), FP._mdbl(v, m), m)
     y3 = FP._msub(
         FP._mm(rr, FP._msub(v, x3, m), m, n0),
         FP._mdbl(FP._mm(s1, j, m, n0), m), m,
     )
     zz = FP._madd(pz, qz, m)
     z3 = FP._mm(
-        FP._msub(FP._msub(FP._mm(zz, zz, m, n0), z1z1, m), z2z2, m),
+        FP._msub(FP._msub(FP._msq(zz, m, n0), z1z1, m), z2z2, m),
         h, m, n0,
     )
 
@@ -208,25 +208,25 @@ def _bucket_accum_kernel(qx_ref, qy_ref, bx_ref, by_ref, bz_ref,
     px, py, pz = _load(bx_ref), _load(by_ref), _load(bz_ref)
     qx, qy = _load(qx_ref), _load(qy_ref)
 
-    z1z1 = FP._mm(pz, pz, m, n0)
+    z1z1 = FP._msq(pz, m, n0)
     u2 = FP._mm(qx, z1z1, m, n0)
     s2 = FP._mm(qy, FP._mm(pz, z1z1, m, n0), m, n0)
     h = FP._msub(u2, px, m)
     r = FP._msub(s2, py, m)
     h_zero = FP._mis_zero(h)
     r_zero = FP._mis_zero(r)
-    hh = FP._mm(h, h, m, n0)
+    hh = FP._msq(h, m, n0)
     ii = FP._mdbl(FP._mdbl(hh, m), m)
     j = FP._mm(h, ii, m, n0)
     rr = FP._mdbl(r, m)
     v = FP._mm(px, ii, m, n0)
-    x3 = FP._msub(FP._msub(FP._mm(rr, rr, m, n0), j, m), FP._mdbl(v, m), m)
+    x3 = FP._msub(FP._msub(FP._msq(rr, m, n0), j, m), FP._mdbl(v, m), m)
     y3 = FP._msub(
         FP._mm(rr, FP._msub(v, x3, m), m, n0),
         FP._mdbl(FP._mm(py, j, m, n0), m), m,
     )
     zh = FP._madd(pz, h, m)
-    z3 = FP._msub(FP._msub(FP._mm(zh, zh, m, n0), z1z1, m), hh, m)
+    z3 = FP._msub(FP._msub(FP._msq(zh, m, n0), z1z1, m), hh, m)
 
     dx, dy, dz = _double_limbs(px, py, pz, m, n0)
 

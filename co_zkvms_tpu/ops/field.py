@@ -284,6 +284,13 @@ def mul(spec: FieldSpec, a, b):
 
 
 def square(spec: FieldSpec, a):
+    batch = 1
+    for d in a.shape[:-1]:
+        batch *= d
+    if batch >= 16 and jax.default_backend() == "tpu":
+        from . import field_pallas
+
+        return field_pallas.square(spec, a)
     return mul(spec, a, a)
 
 

@@ -49,17 +49,8 @@ def _cond_sub_m(res, carry, m):
     return [jnp.where(take, d, r) for d, r in zip(diff, res)]
 
 
-def _mm(a, b, m, n0):
-    """Montgomery product of limb-vector lists."""
-    cols = [None] * 32
-    for i in range(16):
-        for j in range(16):
-            p = a[i] * b[j]
-            lo = p & MASK
-            hi = p >> SIXTEEN
-            k = i + j
-            cols[k] = lo if cols[k] is None else cols[k] + lo
-            cols[k + 1] = hi if cols[k + 1] is None else cols[k + 1] + hi
+def _redc_cols(cols, m, n0):
+    """Carry-canonicalize 32 loose columns, then Montgomery-reduce."""
     carry = None
     for k in range(32):
         v = cols[k] if carry is None else cols[k] + carry
@@ -79,6 +70,39 @@ def _mm(a, b, m, n0):
         res.append(v & MASK)
         carry = v >> SIXTEEN
     return _cond_sub_m(res, carry, m)
+
+
+def _mm(a, b, m, n0):
+    """Montgomery product of limb-vector lists."""
+    cols = [None] * 32
+    for i in range(16):
+        for j in range(16):
+            p = a[i] * b[j]
+            lo = p & MASK
+            hi = p >> SIXTEEN
+            k = i + j
+            cols[k] = lo if cols[k] is None else cols[k] + lo
+            cols[k + 1] = hi if cols[k + 1] is None else cols[k + 1] + hi
+    return _redc_cols(cols, m, n0)
+
+
+def _msq(a, m, n0):
+    """Montgomery square: 136 limb products instead of 256 (cross terms
+    doubled after the lo/hi split, so columns stay < 2^22)."""
+    cols = [None] * 32
+
+    def acc(k, v):
+        cols[k] = v if cols[k] is None else cols[k] + v
+
+    for i in range(16):
+        p = a[i] * a[i]
+        acc(2 * i, p & MASK)
+        acc(2 * i + 1, p >> SIXTEEN)
+        for j in range(i + 1, 16):
+            p = a[i] * a[j]
+            acc(i + j, (p & MASK) << 1)
+            acc(i + j + 1, (p >> SIXTEEN) << 1)
+    return _redc_cols(cols, m, n0)
 
 
 def _madd(a, b, m):
@@ -123,6 +147,50 @@ def _mis_zero(a):
 
 def _msel(mask, a, b):
     return [jnp.where(mask, x, y) for x, y in zip(a, b)]
+
+
+def _sq_kernel_body(a_ref, o_ref, mod_limbs, n0inv):
+    a = [a_ref[i, :] for i in range(16)]
+    m = [int(v) for v in mod_limbs]
+    res = _msq(a, m, n0inv)
+    for k in range(16):
+        o_ref[k, :] = res[k]
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def square_limb_major(spec, a_t):
+    """Montgomery square on limb-major arrays [16, N] (N % BLK == 0)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = a_t.shape[1]
+    kernel = functools.partial(
+        _sq_kernel_body, mod_limbs=tuple(int(v) for v in spec.mod_limbs),
+        n0inv=spec.n0inv,
+    )
+    bspec = pl.BlockSpec((16, BLK), lambda i: (0, i), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // BLK,),
+        in_specs=[bspec],
+        out_specs=bspec,
+        out_shape=jax.ShapeDtypeStruct((16, n), jnp.uint32),
+        interpret=jax.default_backend() != "tpu",
+    )(a_t)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def square(spec, a):
+    """Montgomery square for [..., 16] arrays via the TPU kernel (136 limb
+    products vs mul's 256)."""
+    shape = a.shape
+    a = a.reshape(-1, 16)
+    n = a.shape[0]
+    n_pad = -(-n // BLK) * BLK
+    if n_pad != n:
+        a = jnp.pad(a, ((0, n_pad - n), (0, 0)))
+    out_t = square_limb_major(spec, a.T)
+    return out_t.T[:n].reshape(shape)
 
 
 def _mul_kernel_body(a_ref, b_ref, o_ref, mod_limbs, n0inv):

@@ -20,8 +20,30 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-# persistent compile cache: the limb kernels compile once across runs
-_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+# persistent compile cache: the limb kernels compile once across runs.
+# Keyed by a CPU-feature fingerprint: XLA:CPU AOT results baked for another
+# host's feature set load anyway and then SIGILL/segfault mid-suite (the
+# repo directory outlives the machine it ran on between rounds).
+def _cpu_fingerprint():
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith("flags"):
+                    return hashlib.sha256(
+                        " ".join(sorted(line.split())).encode()
+                    ).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+
+    return platform.machine()
+
+
+_cache_dir = os.path.join(
+    os.path.dirname(__file__), "..", f".jax_cache-{_cpu_fingerprint()}"
+)
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

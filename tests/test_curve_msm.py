@@ -130,3 +130,72 @@ def test_window_digits_straddle(rng):
         for i, s in enumerate(scalars):
             for w in range(digits.shape[0]):
                 assert int(digits[w, i]) == (s >> (w * c)) & ((1 << c) - 1)
+
+
+def test_pallas_curve_kernels_match_jnp(rng):
+    """The Pallas kernel BODIES (run eagerly via fake refs — pallas interpret
+    mode spends >10 min compiling the unrolled graph on CPU) bit-equal the
+    jnp formulas, including the squaring-specialized (_msq) paths and the
+    edge cases (equal points, p + (-p), infinity operands)."""
+    from co_zkvms_tpu.ops import curve_pallas as CP
+    from co_zkvms_tpu.ops import field_pallas as FP
+
+    class Ref:
+        def __init__(self, arr=None, n=None):
+            self.a = ([None] * 16 if arr is None
+                      else [arr[i] for i in range(16)])
+
+        def __getitem__(self, key):
+            i, _ = key
+            return self.a[i]
+
+        def __setitem__(self, key, val):
+            i, _ = key
+            self.a[i] = val
+
+        def limbs(self):
+            return jnp.stack(self.a, axis=-1)
+
+    def t(x):  # [N, 16] -> limb-major fake ref
+        return Ref(jnp.moveaxis(x, -1, 0))
+
+    mod, one, n0 = CP._consts()
+
+    pts = ref_points(rng, 14)
+    qts = ref_points(rng, 14)
+    p_aff = to_device(pts)
+    q_aff = to_device(qts)
+    pj = C.from_affine(p_aff)
+    qj = C.from_affine(q_aff)
+    # rows 14,15: p == q (doubling branch); build q_ext with one negated
+    # row (p + (-p) = infinity) appended as well
+    pj = jax.tree.map(lambda a, b: jnp.concatenate([a, b[:2]]), pj, qj)
+    q_ext = jax.tree.map(lambda a, b: jnp.concatenate([a, b[:2]]),
+                         q_aff, C.to_affine(jax.tree.map(lambda v: v[:2], qj)))
+    q_ext = C.APoint(q_ext.x, jnp.concatenate(
+        [q_ext.y[:-1], F.neg(F.FQ, q_ext.y[-1:])]))
+
+    ox, oy, oz = Ref(), Ref(), Ref()
+    CP._add_mixed_kernel(t(pj.x), t(pj.y), t(pj.z), t(q_ext.x), t(q_ext.y),
+                         ox, oy, oz, mod, one, n0)
+    got = C.JPoint(ox.limbs(), oy.limbs(), oz.limbs())
+    want = C.add_mixed(pj, q_ext)
+    assert C.points_to_ints(C.to_affine(got)) == C.points_to_ints(
+        C.to_affine(want))
+
+    qj_ext = C.from_affine(q_ext)
+    ox, oy, oz = Ref(), Ref(), Ref()
+    CP._add_kernel(t(pj.x), t(pj.y), t(pj.z),
+                   t(qj_ext.x), t(qj_ext.y), t(qj_ext.z),
+                   ox, oy, oz, mod, one, n0)
+    got = C.JPoint(ox.limbs(), oy.limbs(), oz.limbs())
+    want = C.add(pj, qj_ext)
+    assert C.points_to_ints(C.to_affine(got)) == C.points_to_ints(
+        C.to_affine(want))
+
+    ox, oy, oz = Ref(), Ref(), Ref()
+    CP._double_kernel(t(pj.x), t(pj.y), t(pj.z), ox, oy, oz, mod, n0)
+    got = C.JPoint(ox.limbs(), oy.limbs(), oz.limbs())
+    want = C.double(pj)
+    assert C.points_to_ints(C.to_affine(got)) == C.points_to_ints(
+        C.to_affine(want))

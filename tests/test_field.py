@@ -110,3 +110,15 @@ def test_from_int_shapes():
     assert arr.shape == (2, 2, F.NLIMBS)
     back = F.to_int(spec, arr)
     assert back.tolist() == [[1, 2], [3, 4]]
+
+
+def test_pallas_square_kernel_matches_mul():
+    """_msq (interpret mode) bit-equals mul(a, a) on random batches."""
+    import jax
+
+    from co_zkvms_tpu.ops import field_pallas as FP
+
+    a = F.random(F.FR, jax.random.key(9), (64,))
+    got = FP.square(F.FR, a)
+    want = F.mul(F.FR, a, a)
+    assert jnp.array_equal(got, want)
