@@ -338,8 +338,24 @@ def pairing(q_g2, p_g1):
 def multi_pairing_is_one(pairs):
     """Check ∏ e(P_i, Q_i) == 1 with a single shared final exponentiation.
 
-    ``pairs``: iterable of (g1_point, g2_point).
+    ``pairs``: iterable of (g1_point, g2_point). Dispatches to the native
+    C++ verifier (utils/native_pairing.py, bit-equivalent, ~7x faster) when
+    the toolchain is available; this Python path is the oracle it is tested
+    against and the fallback.
     """
+    pairs = list(pairs)
+    try:
+        from ..utils import native_pairing
+
+        if native_pairing.available():
+            return native_pairing.multi_pairing_is_one(pairs)
+    except Exception:  # noqa: BLE001 — any native failure falls back
+        pass
+    return multi_pairing_is_one_py(pairs)
+
+
+def multi_pairing_is_one_py(pairs):
+    """Pure-Python pairing product check (the ground-truth path)."""
     acc = FQ12.one()
     for p_g1, q_g2 in pairs:
         acc = acc * miller_loop(q_g2, p_g1)
