@@ -1,8 +1,9 @@
 """Benchmark driver: prints ONE JSON line with the headline metric.
 
-Headline: variable-base MSM throughput (points/s/chip) at the TUNED
-configuration (n=2^20, auto window size -> c=12 fused VMEM kernel on TPU) —
-the kernel the reference pipeline is bound by (BASELINE.md: party-side
+Headline: variable-base MSM throughput (points/s/chip) at the largest
+configuration that SURVIVES the chip — tried in a degrade ladder from the
+tuned config (n=2^20) down to the known-good floor (n=2^16, c=8). The MSM
+is the kernel the reference pipeline is bound by (BASELINE.md: party-side
 PST13 ``batch_msm`` = 144.5 s of a 344 s co-Jolt proof).
 
 vs_baseline: the reference gives no direct MSM ops/s number; we derive an
@@ -10,27 +11,37 @@ estimate from its committed trace: sha2-chain x300 => trace length ~2^20,
 Jolt commits O(100) polynomials of that length per party, so ~1e8 points in
 144.5 s ~= 7e5 points/s on the 32-CPU host. vs_baseline = ours / 7e5.
 
+Crash isolation: every bench runs in its OWN subprocess (`--sub <name>`),
+so a TPU-worker crash or a wedged compile kills one config, not the whole
+suite (round 3 lost every number to one 2^20 crash). Results stream back as
+SUB_RESULT JSON lines; the parent aggregates into BENCH_DETAIL.json.
+
+A persistent compile cache (.jax_cache_tpu, keyed by jax/platform) is shared
+by all subprocesses so multi-minute Mosaic compiles are paid once per
+machine, not once per bench run.
+
 Secondary lines (stderr + BENCH_DETAIL.json, the BASELINE.json set):
 - field-mul throughput + roofline % (HBM-bandwidth model: a dependent
   Montgomery mul streams 3 x 64 B per element at ~820 GB/s on v5e);
-- MSM roofline % (point-adds/s vs the flat field-mul rate: one mixed add
-  = 11 muls + overhead);
+- MSM roofline % (point-adds/s vs the flat field-mul rate);
 - sumcheck round throughput (elements/s, degree-3 4-table comb at 2^20);
-- e2e proof latencies: Spartan 2^12 (+2^20 opt-in via BENCH_E2E_BIG),
-  linked Jolt zkVM guest;
+- NTT / Poseidon throughput + mul-rate rooflines;
+- e2e proof latencies: Spartan 2^12 AND 2^20 (at-scale, default-on),
+  linked Jolt zkVM guest (loop guest, >= 2^12 trace rows via BENCH_JOLT);
 - multichip scaling: measured separately by the driver via
   __graft_entry__.dryrun_multichip (virtual mesh; ICI numbers need a pod).
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
-
 REF_MSM_POINTS_PER_S = 7.0e5  # documented estimate, see module docstring
 HBM_GBPS = 819.0              # v5e HBM bandwidth (spec)
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache_tpu")
 DETAIL = {}
 
 
@@ -40,16 +51,76 @@ def log(msg):
 
 def _sync_limb(x):
     """Force completion through the TPU relay (block_until_ready lies)."""
+    import jax
+    import jax.numpy as jnp
+
     return int(jax.device_get(jnp.ravel(x)[0]))
 
 
-def bench_msm(n_log2=20, c=None, iters=3):
+def _emit(result):
+    """Child -> parent result channel (one tagged JSON line on stdout)."""
+    print("SUB_RESULT " + json.dumps(result), flush=True)
+
+
+# --------------------------------------------------------------------------
+# subprocess bodies (each runs with a fresh TPU client)
+# --------------------------------------------------------------------------
+
+
+def sub_field_mul(n_log2=20, chain=50):
+    import jax
+    import jax.numpy as jnp
+    from co_zkvms_tpu.ops import field as F
+    from co_zkvms_tpu.ops.field import FR
+
+    n = 1 << n_log2
+    a = F.random(FR, jax.random.key(1), (n,))
+    b = F.random(FR, jax.random.key(2), (n,))
+
+    # the realistic shape: a dependent mul chain inside ONE jitted program
+    # (sumcheck folds / Poseidon / NTT all run many muls per kernel launch;
+    # XLA cancels the kernel-boundary transposes between dependent muls).
+    @jax.jit
+    def chain_fn(x, y):
+        for _ in range(chain):
+            x = F.mul(FR, x, y)
+        return x
+
+    out = chain_fn(a, b)
+    _sync_limb(out)
+    t0 = time.time()
+    out = chain_fn(a, b)
+    _sync_limb(out)
+    per = (time.time() - t0) / chain
+    rate = n / per
+    # HBM model: read 2 operands + write 1 result, 64 B each per element
+    ideal = HBM_GBPS * 1e9 / (3 * 64)
+    pct = 100.0 * rate / ideal
+    # also the unfused single-call rate (layout conversions included)
+    out1 = F.mul(FR, a, b)
+    _sync_limb(out1)
+    t0 = time.time()
+    for _ in range(10):
+        out1 = F.mul(FR, out1, b)
+    _sync_limb(out1)
+    rate1 = n / ((time.time() - t0) / 10)
+    log(f"field mul n=2^{n_log2}: {per*1e3:.3f}ms/mul -> {rate/1e6:.1f} "
+        f"Mmul/s fused-chain ({pct:.1f}% of HBM roofline {ideal/1e6:.0f} "
+        f"Mmul/s); single-call {rate1/1e6:.1f} Mmul/s")
+    _emit({"field_mul_per_s": round(rate),
+           "field_mul_roofline_pct": round(pct, 1),
+           "field_mul_single_call_per_s": round(rate1)})
+
+
+def sub_msm(n_log2, c=0):
+    import jax
     from co_zkvms_tpu.ops import curve as C
     from co_zkvms_tpu.ops import field as F
     from co_zkvms_tpu.ops import msm as M
     from co_zkvms_tpu.ops import ref_bn254 as bn
     from co_zkvms_tpu.ops.field import FR
 
+    c = c or None
     n = 1 << n_log2
     key = jax.random.key(0)
     k1, k2 = jax.random.split(key)
@@ -69,60 +140,27 @@ def bench_msm(n_log2=20, c=None, iters=3):
     log(f"msm warmup (compile+run): {warm:.2f}s")
 
     times = []
-    for _ in range(iters):
+    for _ in range(3):
         t0 = time.time()
         res = M.msm(pts, scalars, c=c)
         _sync_limb(res.x)
         times.append(time.time() - t0)
     best = min(times)
     pps = n / best
-    # roofline: nw windows x n mixed adds, 11 muls + ~6 adds each ~= 12
-    # mul-equivalents, vs the measured flat field-mul rate
     nw = M._n_windows(c_eff)
-    mul_rate = DETAIL.get("field_mul_per_s")
-    if mul_rate:
-        roofline_pps = mul_rate / (nw * 12.0)
-        pct = 100.0 * pps / roofline_pps
-        DETAIL["msm_roofline_pct"] = round(pct, 1)
-        log(f"msm roofline: {pct:.1f}% of field-mul-rate bound "
-            f"({roofline_pps:,.0f} pts/s ideal at {nw} windows)")
-    log(f"msm n=2^{n_log2} c={c_eff}: best {best:.3f}s -> {pps:,.0f} points/s")
-    DETAIL["msm_points_per_s"] = round(pps)
-    DETAIL["msm_config"] = {"n_log2": n_log2, "c": c_eff}
-    DETAIL["msm_warmup_s"] = round(warm, 1)
-    return pps
+    log(f"msm n=2^{n_log2} c={c_eff}: best {best:.3f}s -> {pps:,.0f} pts/s")
+    _emit({"msm_points_per_s": round(pps),
+           "msm_config": {"n_log2": n_log2, "c": c_eff, "nw": nw},
+           "msm_warmup_s": round(warm, 1)})
 
 
-def bench_field_mul(n_log2=20, chain=50):
-    from co_zkvms_tpu.ops import field as F
-    from co_zkvms_tpu.ops.field import FR
-
-    n = 1 << n_log2
-    a = F.random(FR, jax.random.key(1), (n,))
-    b = F.random(FR, jax.random.key(2), (n,))
-    out = F.mul(FR, a, b)
-    _sync_limb(out)
-    t0 = time.time()
-    for _ in range(chain):
-        out = F.mul(FR, out, b)
-    _sync_limb(out)
-    per = (time.time() - t0) / chain
-    rate = n / per
-    # HBM model: read 2 operands + write 1 result, 64 B each per element
-    ideal = HBM_GBPS * 1e9 / (3 * 64)
-    pct = 100.0 * rate / ideal
-    log(f"field mul n=2^{n_log2}: {per*1e3:.3f}ms/mul -> {rate/1e6:.1f} "
-        f"Mmul/s ({pct:.1f}% of HBM roofline {ideal/1e6:.0f} Mmul/s)")
-    DETAIL["field_mul_per_s"] = round(rate)
-    DETAIL["field_mul_roofline_pct"] = round(pct, 1)
-    return rate
-
-
-def bench_sumcheck_round(n_log2=20):
+def sub_sumcheck(n_log2=20):
     """Degree-3 4-table comb (the GKR/outer-Spartan inner loop): full prove
     over 2^n elements; reports elements/s across all rounds and the
     bandwidth roofline of the dominant first round."""
+    import jax
     from co_zkvms_tpu.ops import field as F
+    from co_zkvms_tpu.ops import poly as P
     from co_zkvms_tpu.ops import sumcheck as SC
     from co_zkvms_tpu.ops import transcript as T
     from co_zkvms_tpu.ops.field import FR
@@ -134,8 +172,6 @@ def bench_sumcheck_round(n_log2=20):
     def comb(ps):
         eq, az, bz, cz = ps
         return F.mul(FR, eq, F.sub(FR, F.mul(FR, az, bz), cz))
-
-    from co_zkvms_tpu.ops import poly as P
 
     taus = F.random(FR, jax.random.key(14), (n_log2,))
     eq_t = P.eq_table(FR, taus)
@@ -162,18 +198,16 @@ def bench_sumcheck_round(n_log2=20):
     ideal = n / (traffic / (HBM_GBPS * 1e9))
     pct = 100.0 * rate / ideal
     log(f"sumcheck d3 full prove 2^{n_log2}: split-eq {dt:.3f}s vs "
-        f"eq-in-comb {times[False]:.3f}s "
-        f"({times[False]/dt:.2f}x) -> {rate/1e6:.1f} M elements/s "
-        f"({pct:.1f}% of HBM roofline)")
-    DETAIL["sumcheck_elems_per_s"] = round(rate)
-    DETAIL["sumcheck_roofline_pct"] = round(pct, 1)
-    DETAIL["sumcheck_split_eq_speedup"] = round(times[False] / dt, 2)
-    return rate
+        f"eq-in-comb {times[False]:.3f}s ({times[False]/dt:.2f}x) -> "
+        f"{rate/1e6:.1f} M elements/s ({pct:.1f}% of HBM roofline)")
+    _emit({"sumcheck_elems_per_s": round(rate),
+           "sumcheck_roofline_pct": round(pct, 1),
+           "sumcheck_split_eq_speedup": round(times[False] / dt, 2)})
 
 
-def bench_ntt(n_log2=20):
-    """Radix-2 NTT over Fr: full transform throughput + mul-rate roofline
-    (log2(N) stages x N/2 butterflies, 1 modmul each)."""
+def sub_ntt(n_log2=20):
+    """Radix-2 NTT over Fr: full transform throughput."""
+    import jax
     from co_zkvms_tpu.ops import field as F
     from co_zkvms_tpu.ops import ntt as N
     from co_zkvms_tpu.ops.field import FR
@@ -187,20 +221,13 @@ def bench_ntt(n_log2=20):
     _sync_limb(out)
     dt = time.time() - t0
     rate = n / dt
-    mul_rate = DETAIL.get("field_mul_per_s")
-    if mul_rate:
-        ideal = mul_rate / (n_log2 / 2)  # N/2 muls per stage, log2(N) stages
-        pct = 100.0 * rate / ideal
-        DETAIL["ntt_roofline_pct"] = round(pct, 1)
-        log(f"ntt 2^{n_log2}: {dt*1e3:.1f}ms -> {rate/1e6:.2f} M elems/s "
-            f"({pct:.1f}% of field-mul-rate bound)")
-    DETAIL["ntt_elems_per_s"] = round(rate)
-    return rate
+    log(f"ntt 2^{n_log2}: {dt*1e3:.1f}ms -> {rate/1e6:.2f} M elems/s")
+    _emit({"ntt_elems_per_s": round(rate), "ntt_n_log2": n_log2})
 
 
-def bench_poseidon(n_log2=18):
-    """Batched Poseidon t=3 (2-to-1): hashes/s + mul-rate roofline
-    (828 modmuls per permutation: 8 full rounds x 18 + 57 partial x 12)."""
+def sub_poseidon(n_log2=18):
+    """Batched Poseidon t=3 (2-to-1): hashes/s."""
+    import jax
     from co_zkvms_tpu.ops import field as F
     from co_zkvms_tpu.ops import poseidon as P
     from co_zkvms_tpu.ops.field import FR
@@ -215,18 +242,12 @@ def bench_poseidon(n_log2=18):
     _sync_limb(out)
     dt = time.time() - t0
     rate = n / dt
-    mul_rate = DETAIL.get("field_mul_per_s")
-    if mul_rate:
-        ideal = mul_rate / 828.0
-        pct = 100.0 * rate / ideal
-        DETAIL["poseidon_roofline_pct"] = round(pct, 1)
-        log(f"poseidon 2^{n_log2} hashes: {dt*1e3:.1f}ms -> "
-            f"{rate/1e6:.2f} M hash/s ({pct:.1f}% of field-mul-rate bound)")
-    DETAIL["poseidon_hashes_per_s"] = round(rate)
-    return rate
+    log(f"poseidon 2^{n_log2} hashes: {dt*1e3:.1f}ms -> "
+        f"{rate/1e6:.2f} M hash/s")
+    _emit({"poseidon_hashes_per_s": round(rate)})
 
 
-def bench_spartan_e2e(n_cons_log2=12):
+def sub_spartan(n_cons_log2=12):
     from co_zkvms_tpu.models import spartan
     from co_zkvms_tpu.models.synthetic import squaring_chain
     from co_zkvms_tpu.ops import pst13
@@ -245,104 +266,160 @@ def bench_spartan_e2e(n_cons_log2=12):
         f"(incl. compile), steady {t_second:.2f}s")
     ok = spartan.verify(index, srs, [3], proof)
     log(f"spartan verify: {ok}")
-    DETAIL[f"spartan_2e{n_cons_log2}_steady_s"] = round(t_second, 2)
-    DETAIL[f"spartan_2e{n_cons_log2}_compile_s"] = round(t_first - t_second, 2)
-    return t_second
+    _emit({f"spartan_2e{n_cons_log2}_steady_s": round(t_second, 2),
+           f"spartan_2e{n_cons_log2}_compile_s": round(t_first - t_second, 2),
+           f"spartan_2e{n_cons_log2}_verify_ok": bool(ok)})
 
 
-def bench_jolt_e2e():
-    """Linked Jolt zkVM (full RV32IM incl. DIV sequence) on a small guest."""
-    from co_zkvms_tpu.models.jolt import jolt, rv32i as rv, subtables as ST
+def sub_jolt(n_iters=819):
+    """Linked Jolt zkVM e2e at PRODUCTION geometry (WORD=32, M=2^16) on a
+    LOOP guest with >= 2^12 trace rows: fibonacci mod 2^32, ~5 instr/iter."""
+    from co_zkvms_tpu.models.jolt import jolt, rv32i as rv
     from co_zkvms_tpu.ops import pst13
 
-    ST.set_config(8)
+    prog = [
+        rv.asm("ADDI", rd=1, rs1=0, imm=1),       # a = 1
+        rv.asm("ADDI", rd=2, rs1=0, imm=1),       # b = 1
+        rv.asm("ADDI", rd=5, rs1=0, imm=n_iters),  # i = n
+        # loop: t = a+b; a = b; b = t; i -= 1; bne i, x0, loop
+        rv.asm("ADD", rd=3, rs1=1, rs2=2),
+        rv.asm("ADD", rd=1, rs1=0, rs2=2),
+        rv.asm("ADD", rd=2, rs1=0, rs2=3),
+        rv.asm("ADDI", rd=5, rs1=5, imm=-1),
+        rv.asm("BNE", rs1=5, rs2=0, imm=-16),
+        rv.asm("SW", rs1=0, rs2=2, imm=0x104),
+        rv.asm("ECALL"),
+    ]
+    trace_len = 3 + 5 * n_iters + 2
+    t0 = time.time()
+    srs = pst13.setup_cached(16, seed=21)   # covers M=2^16 final counters
+    t_setup = time.time() - t0
+    t0 = time.time()
+    proof = jolt.prove(prog, srs, mem_bits=6, max_steps=1 << 14)
+    t_prove = time.time() - t0
+    t0 = time.time()
+    ok = jolt.verify(proof, prog, srs)
+    t_ver = time.time() - t0
+    log(f"jolt zkVM e2e (fib loop x{n_iters}, ~{trace_len} rows, WORD=32): "
+        f"setup {t_setup:.1f}s prove {t_prove:.1f}s verify {t_ver:.1f}s "
+        f"ok={ok}")
+    _emit({"jolt_guest_rows": trace_len,
+           "jolt_guest_prove_s": round(t_prove, 1),
+           "jolt_guest_verify_s": round(t_ver, 1),
+           "jolt_guest_verify_ok": bool(ok)})
+
+
+SUBS = {
+    "field_mul": sub_field_mul,
+    "msm": sub_msm,
+    "sumcheck": sub_sumcheck,
+    "ntt": sub_ntt,
+    "poseidon": sub_poseidon,
+    "spartan": sub_spartan,
+    "jolt": sub_jolt,
+}
+
+
+# --------------------------------------------------------------------------
+# parent orchestration
+# --------------------------------------------------------------------------
+
+
+def run_sub(name, args=(), timeout=900):
+    """Run one bench in a subprocess; returns its SUB_RESULT dict or None.
+
+    A crash (TPU worker died, segfault, OOM) or a wedged compile kills only
+    this subprocess; the parent moves on to the next bench/config."""
+    cmd = [sys.executable, os.path.abspath(__file__), "--sub", name]
+    cmd += [str(a) for a in args]
+    env = os.environ.copy()
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", CACHE_DIR)
+    label = f"{name}({','.join(str(a) for a in args)})"
+    log(f"--- bench {label} (timeout {timeout}s)")
+    t0 = time.time()
     try:
-        srs = pst13.setup_cached(8, seed=21)
-        prog = [
-            rv.asm("ADDI", rd=1, rs1=0, imm=17),
-            rv.asm("ADDI", rd=2, rs1=0, imm=5),
-            rv.asm("DIV", rd=3, rs1=1, rs2=2),
-            rv.asm("MULH", rd=5, rs1=1, rs2=2),
-            rv.asm("SW", rs1=0, rs2=3, imm=0x104),
-            rv.asm("LW", rd=6, rs1=0, imm=0x104),
-            rv.asm("ECALL"),
-        ]
-        t0 = time.time()
-        proof = jolt.prove(prog, srs, mem_bits=4)
-        t_prove = time.time() - t0
-        t0 = time.time()
-        ok = jolt.verify(proof, prog, srs)
-        t_ver = time.time() - t0
-        log(f"jolt zkVM e2e (RV32IM guest, 2^6 rows): prove {t_prove:.1f}s "
-            f"verify {t_ver:.1f}s ok={ok}")
-        DETAIL["jolt_guest_prove_s"] = round(t_prove, 1)
-        DETAIL["jolt_guest_verify_s"] = round(t_ver, 1)
-    finally:
-        ST.set_config(16)
+        proc = subprocess.run(cmd, env=env, timeout=timeout,
+                              stdout=subprocess.PIPE, stderr=sys.stderr)
+    except subprocess.TimeoutExpired:
+        log(f"bench {label} TIMED OUT after {timeout}s")
+        return None
+    out = proc.stdout.decode(errors="replace")
+    result = None
+    for line in out.splitlines():
+        if line.startswith("SUB_RESULT "):
+            result = json.loads(line[len("SUB_RESULT "):])
+    if proc.returncode != 0:
+        log(f"bench {label} exited rc={proc.returncode} "
+            f"after {time.time()-t0:.0f}s")
+    return result
 
 
 def main():
-    import os
-
     t_start = time.time()
     budget = float(os.environ.get("BENCH_BUDGET_S", "1500"))
-    log(f"devices: {jax.devices()}")
+    os.makedirs(CACHE_DIR, exist_ok=True)
+
+    def left():
+        return budget - (time.time() - t_start)
+
+    res = run_sub("field_mul", timeout=min(600, max(120, left())))
     mul_rate = None
-    try:
-        mul_rate = bench_field_mul()
-    except Exception as e:  # noqa: BLE001
-        log(f"field bench failed: {e}")
+    if res:
+        DETAIL.update(res)
+        mul_rate = res.get("field_mul_per_s")
 
-    # headline FIRST: the TPU relay worker occasionally crashes under
-    # sustained load — retry, and always emit a JSON line even if MSM
-    # never completes. Secondary benches (some with multi-minute first
-    # compiles) run after, under the soft time budget.
+    # headline: degrade ladder — tuned config first, then smaller until one
+    # survives. NEVER emit nothing (round-3 failure mode).
+    msm_ladder = [(20, 0), (18, 0), (16, 8)]
     pps = None
-    for attempt in range(3):
-        try:
-            pps = bench_msm()
+    for n_log2, c in msm_ladder:
+        res = run_sub("msm", (n_log2, c),
+                      timeout=min(1200, max(300, left())))
+        if res and res.get("msm_points_per_s"):
+            DETAIL.update(res)
+            pps = res["msm_points_per_s"]
+            if (n_log2, c) != msm_ladder[0]:
+                DETAIL["msm_degraded"] = True
+                log(f"msm DEGRADED to n=2^{n_log2}: the tuned config "
+                    f"crashed or timed out — headline is the largest "
+                    f"surviving config")
             break
-        except Exception as e:  # noqa: BLE001
-            log(f"msm bench attempt {attempt} failed: {e}")
-            time.sleep(45)
+    if pps and mul_rate:
+        nw = DETAIL["msm_config"]["nw"]
+        roofline_pps = mul_rate / (nw * 12.0)
+        pct = 100.0 * pps / roofline_pps
+        DETAIL["msm_roofline_pct"] = round(pct, 1)
+        log(f"msm roofline: {pct:.1f}% of field-mul-rate bound "
+            f"({roofline_pps:,.0f} pts/s ideal at {nw} windows)")
 
-    def in_budget(label):
-        left = budget - (time.time() - t_start)
-        if left <= 0:
-            log(f"{label} skipped: bench budget exhausted")
-            return False
-        return True
+    secondary = [
+        ("sumcheck", (), 600),
+        ("ntt", (), 400),
+        ("poseidon", (), 400),
+        ("spartan", (12,), 600),
+        ("spartan", (20,), 900),
+    ]
+    if os.environ.get("BENCH_JOLT"):
+        secondary.append(("jolt", (), 900))
+    for name, args, to in secondary:
+        if left() <= 30:
+            log(f"{name}{args} skipped: bench budget exhausted")
+            continue
+        res = run_sub(name, args, timeout=min(to, max(60, left())))
+        if res:
+            DETAIL.update(res)
 
-    if in_budget("sumcheck"):
-        try:
-            bench_sumcheck_round()
-        except Exception as e:  # noqa: BLE001
-            log(f"sumcheck bench failed: {e}")
-    if in_budget("ntt"):
-        try:
-            bench_ntt()
-        except Exception as e:  # noqa: BLE001
-            log(f"ntt bench failed: {e}")
-    if in_budget("poseidon"):
-        try:
-            bench_poseidon()
-        except Exception as e:  # noqa: BLE001
-            log(f"poseidon bench failed: {e}")
-    if in_budget("spartan"):
-        try:
-            bench_spartan_e2e(12)
-        except Exception as e:  # noqa: BLE001
-            log(f"spartan bench failed: {e}")
-    if os.environ.get("BENCH_E2E_BIG") and in_budget("spartan-big"):
-        try:
-            bench_spartan_e2e(20)
-        except Exception as e:  # noqa: BLE001
-            log(f"spartan 2^20 bench failed: {e}")
-    if os.environ.get("BENCH_JOLT") and in_budget("jolt"):
-        try:
-            bench_jolt_e2e()
-        except Exception as e:  # noqa: BLE001
-            log(f"jolt bench failed: {e}")
+    # mul-rate rooflines for secondary kernels
+    if mul_rate:
+        if DETAIL.get("ntt_elems_per_s"):
+            nlg = DETAIL.get("ntt_n_log2", 20)
+            ideal = mul_rate / (nlg / 2)
+            DETAIL["ntt_roofline_pct"] = round(
+                100.0 * DETAIL["ntt_elems_per_s"] / ideal, 1)
+        if DETAIL.get("poseidon_hashes_per_s"):
+            ideal = mul_rate / 828.0
+            DETAIL["poseidon_roofline_pct"] = round(
+                100.0 * DETAIL["poseidon_hashes_per_s"] / ideal, 1)
 
     try:
         with open("BENCH_DETAIL.json", "w") as fh:
@@ -350,31 +427,31 @@ def main():
         log(f"detail: {json.dumps(DETAIL)}")
     except Exception as e:  # noqa: BLE001
         log(f"detail write failed: {e}")
+
     if pps is not None:
-        print(
-            json.dumps(
-                {
-                    "metric": "msm_points_per_s_per_chip",
-                    "value": round(pps),
-                    "unit": "points/s",
-                    "vs_baseline": round(pps / REF_MSM_POINTS_PER_S, 3),
-                }
-            )
-        )
+        line = {"metric": "msm_points_per_s_per_chip", "value": round(pps),
+                "unit": "points/s",
+                "vs_baseline": round(pps / REF_MSM_POINTS_PER_S, 3)}
+        if DETAIL.get("msm_degraded"):
+            line["degraded_config"] = DETAIL["msm_config"]
     else:
-        # fallback: field-mul throughput vs the reference's ~50 Mmul/s on a
-        # 32-core CPU host (arkworks ~1.5M mul/s/core)
-        print(
-            json.dumps(
-                {
-                    "metric": "field_mul_per_s_per_chip",
-                    "value": round(mul_rate or 0),
-                    "unit": "mulmod/s",
-                    "vs_baseline": round((mul_rate or 0) / 5.0e7, 3),
-                }
-            )
-        )
+        # LOUD fallback: different metric, different baseline (reference's
+        # ~50 Mmul/s on a 32-core CPU host; arkworks ~1.5M mul/s/core).
+        # NOT comparable to msm vs_baseline numbers from other rounds.
+        log("WARNING: headline MSM never completed at ANY ladder config; "
+            "falling back to the field-mul metric (vs CPU mul rate — not "
+            "comparable to msm_points_per_s_per_chip rounds)")
+        line = {"metric": "field_mul_per_s_per_chip",
+                "value": round(mul_rate or 0), "unit": "mulmod/s",
+                "vs_baseline": round((mul_rate or 0) / 5.0e7, 3),
+                "fallback_from": "msm_points_per_s_per_chip"}
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--sub":
+        name = sys.argv[2]
+        args = [int(a) for a in sys.argv[3:]]
+        SUBS[name](*args)
+    else:
+        main()

@@ -222,6 +222,41 @@ def _fused_group(pts32, digits_grp, c: int, r_rows: int) -> JPoint:
     return JPoint(bx, by, bz)  # [g, nb]
 
 
+@functools.partial(jax.jit, static_argnums=1)
+def _fold_axis0(cur: JPoint, k: int) -> JPoint:
+    """Tree-sum a JPoint batch [k, w] down to [1, w] at a FIXED shape.
+
+    A Python while-halving loop compiles a fresh Pallas add kernel for every
+    level's shape (log2(k) multi-second Mosaic compiles at c=12 — the r3
+    compile blowup); here every level is one C.add at the same [k, w] shape
+    with masked partners, so the whole fold is ONE compiled program. The
+    k*log(k) lane work is noise next to the grid accumulation."""
+    k_eff = cur.x.shape[0]
+    assert k_eff == k
+    if k == 1:
+        return cur
+    w = cur.x.shape[1]
+    inf = C.infinity((k, w))
+    pos = jnp.arange(k, dtype=jnp.int32)[:, None]
+
+    def level(l, t):
+        half = jnp.int32(k) >> (l + 1)
+        idx = jnp.broadcast_to(jnp.clip(pos + half, 0, k - 1), (k, w))
+        valid = jnp.broadcast_to(pos < half, (k, w))
+        partner = JPoint(
+            jnp.take_along_axis(t.x, idx[..., None], axis=0),
+            jnp.take_along_axis(t.y, idx[..., None], axis=0),
+            jnp.take_along_axis(t.z, idx[..., None], axis=0),
+        )
+        partner = jax.tree.map(
+            lambda p, i: F._select(valid, p, i), partner, inf
+        )
+        return C.add(t, partner)
+
+    out = jax.lax.fori_loop(0, k.bit_length() - 1, level, cur)
+    return JPoint(out.x[:1], out.y[:1], out.z[:1])
+
+
 def _window_sums_fused(points: APoint, digits, c: int, occs) -> JPoint:
     """All-window bucket sums with occupancy-grouped grids.
 
@@ -240,23 +275,23 @@ def _window_sums_fused(points: APoint, digits, c: int, occs) -> JPoint:
         step = 1 << (r.bit_length() - 3)
         return ((r + step - 1) // step) * step
 
-    r_low = _quant(max(max(occs[: nw - 1]), 1))
+    r_low_raw = max(max(occs[: nw - 1]), 1)
     pts32 = jnp.concatenate([points.x, points.y], axis=-1)  # 128 B rows
-    low = _fused_group(pts32, digits[: nw - 1], c, r_low)
     # The TOP window spans only the leftover scalar bits: its digits fit in
     # 2^top_bits buckets but its occupancy is 2^(c-top_bits) times higher —
     # a full-width dense grid for it would be R_top * 2^c points (6 GB at
     # c=10/2^20, measured OOM). Instead split its points into K groups
     # (K = 2^(c-top_bits)): each group accumulates into its own 2^top_bits
     # buckets — restoring both the grid volume (~N slots total) and the
-    # kernel's lane utilization — and a log K tree of batched adds merges
-    # the groups' buckets.
+    # kernel's lane utilization — and a fixed-shape fold merges the groups.
     top_bits = max(1, SCALAR_BITS - (nw - 1) * c)
     nb = 1 << c
     n_pts = digits.shape[1]
     k_split = max(1, min(nb >> top_bits, n_pts & (-n_pts)))
     nb_top = 1 << top_bits
     if k_split == 1:
+        r_low = _quant(r_low_raw)
+        low = _fused_group(pts32, digits[: nw - 1], c, r_low)
         top = _fused_group(pts32, digits[nw - 1 :], c,
                            _quant(max(occs[nw - 1], 1)))
     else:
@@ -264,25 +299,28 @@ def _window_sums_fused(points: APoint, digits, c: int, occs) -> JPoint:
         # into the digit: group g's digit d -> combined bucket g*nb_top + d
         # (digit 0 stays at global bucket 0, which the grid skips). This
         # reuses the full-width kernel AT THE LOW WINDOWS' SHAPE — same
-        # compiled program, full lane utilization, ~N grid slots — then a
-        # log(k) tree of width-nb_top batched adds folds the group ranges.
+        # compiled program, full lane utilization, ~N grid slots — then
+        # _fold_axis0 (one compiled program) folds the k group ranges.
         group = jnp.arange(n_pts, dtype=jnp.uint32) // jnp.uint32(
             n_pts // k_split)
         dtop = digits[nw - 1]
         dig2 = jnp.where(dtop == 0, 0, dtop + group * jnp.uint32(nb_top))
         kb = (k_split * nb_top).bit_length() - 1
         occ2 = int(jax.device_get(jnp.max(_occupancies(dig2[None], kb))))
-        comb = _fused_group(pts32, dig2[None],
-                            kb, _quant(max(occ2, 1)))   # [1, k*nb_top]
+        if kb == c:
+            # one shared (c, r) shape for the low AND top grids: halves the
+            # number of multi-minute _fused_group compiles (r3 weak #2a)
+            r_low = _quant(max(r_low_raw, occ2))
+            r_top = r_low
+        else:
+            r_low = _quant(r_low_raw)
+            r_top = _quant(max(occ2, 1))
+        low = _fused_group(pts32, digits[: nw - 1], c, r_low)
+        comb = _fused_group(pts32, dig2[None], kb, r_top)   # [1, k*nb_top]
         cur = JPoint(comb.x.reshape(k_split, nb_top, -1),
                      comb.y.reshape(k_split, nb_top, -1),
                      comb.z.reshape(k_split, nb_top, -1))
-        while cur.x.shape[0] > 1:
-            half = cur.x.shape[0] // 2
-            a = jax.tree.map(lambda t: t[:half], cur)
-            b = jax.tree.map(lambda t: t[half:], cur)
-            cur = C.add(a, b)
-        top = cur                                       # [1, nb_top]
+        top = _fold_axis0(cur, k_split)                 # [1, nb_top]
     pad = nb - top.x.shape[1]
     if pad:
         top = JPoint(

@@ -21,30 +21,83 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: the limb kernels compile once across runs.
-# Keyed by a CPU-feature fingerprint: XLA:CPU AOT results baked for another
-# host's feature set load anyway and then SIGILL/segfault mid-suite (the
-# repo directory outlives the machine it ran on between rounds).
+# Keyed by a CPU fingerprint: XLA:CPU AOT results baked for another host
+# load anyway and then SIGILL/segfault mid-suite (the repo directory
+# outlives the machine it ran on between rounds).
+#
+# Round-3 lesson: keying by the cpuinfo ISA-``flags`` line alone is NOT
+# enough — LLVM derives per-MODEL tuning features (e.g. +prefer-no-gather
+# on Zen 4) that change vector codegen between two hosts with identical
+# flag sets, and loading such an artifact segfaulted the whole suite in
+# backend_compile_and_load. Key by the full CPU identity (vendor, family,
+# model, stepping, model name, flags) + the jaxlib version; a subprocess
+# canary below backstops any residual mismatch by crash-probing the cache
+# before the suite trusts it.
 def _cpu_fingerprint():
     import hashlib
 
+    ident = []
     try:
         with open("/proc/cpuinfo") as fh:
             for line in fh:
-                if line.startswith("flags"):
-                    return hashlib.sha256(
-                        " ".join(sorted(line.split())).encode()
-                    ).hexdigest()[:12]
+                key = line.split(":")[0].strip()
+                if key in ("vendor_id", "cpu family", "model", "stepping",
+                           "model name", "flags"):
+                    ident.append(" ".join(sorted(line.split())))
+                if key == "flags":
+                    break  # one core is enough
     except OSError:
-        pass
-    import platform
+        import platform
 
-    return platform.machine()
+        ident = [platform.machine(), platform.processor()]
+    ident.append(jax.__version__)
+    return hashlib.sha256("|".join(ident).encode()).hexdigest()[:12]
 
 
-_cache_dir = os.path.join(
-    os.path.dirname(__file__), "..", f".jax_cache-{_cpu_fingerprint()}"
-)
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+_cache_dir = os.path.abspath(os.path.join(
+    os.path.dirname(__file__), "..", f".jax_cachev2-{_cpu_fingerprint()}"
+))
+
+
+def _canary_probe(cache_dir):
+    """Crash-probe the persistent cache in a SUBPROCESS before trusting it.
+
+    Loads (or first-compiles) a representative vectorized-u32 program with
+    the cache enabled; a poisoned artifact (compiled for another machine's
+    vector features) dies with SIGSEGV/SIGILL *in the subprocess*, and the
+    cache dir is deleted instead of taking down the pytest process."""
+    import shutil
+    import subprocess
+    import sys
+
+    if not os.path.isdir(cache_dir):
+        return
+    prog = (
+        "import os, jax, jax.numpy as jnp\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        f"jax.config.update('jax_compilation_cache_dir', {cache_dir!r})\n"
+        "jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)\n"
+        "import numpy as np\n"
+        "a = jnp.arange(1 << 12, dtype=jnp.uint32).reshape(-1, 16)\n"
+        "f = jax.jit(lambda x: ((x * x) >> 3 | (x + 7)).sum(1))\n"
+        "print(int(f(a)[0]))\n"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    try:
+        r = subprocess.run([sys.executable, "-c", prog], env=env,
+                           capture_output=True, timeout=240)
+        ok = r.returncode == 0
+    except subprocess.TimeoutExpired:
+        ok = False
+    if not ok:
+        print(f"[conftest] persistent cache {cache_dir} failed the canary "
+              f"probe (rc={getattr(r, 'returncode', 'timeout')}); deleting it",
+              flush=True)
+        shutil.rmtree(cache_dir, ignore_errors=True)
+
+
+_canary_probe(_cache_dir)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import random

@@ -34,6 +34,28 @@ def _combine_ints(stack):
     return [int(v) for v in vals.reshape(-1)]
 
 
+def _ints(arr):
+    return [int(v) for v in
+            np.asarray(jax.device_get(F.to_int(FR, arr))).reshape(-1)]
+
+
+def _assert_full_witness(got, want):
+    """Share stacks combine to the EXACT plaintext witness: dims, outputs,
+    AND the memory-checking columns (e_polys / read_cts / final_cts) that
+    feed the grand products."""
+    assert got.n == want.n and got.memories == want.memories
+    for i in got.dims:
+        assert _combine_ints(got.dims[i]) == _ints(want.dims[i]), f"dim {i}"
+    for mem in want.memories:
+        assert _combine_ints(got.e_polys[mem]) == _ints(
+            want.e_polys[mem]), ("e_polys", mem)
+        assert _combine_ints(got.read_cts[mem]) == _ints(
+            want.read_cts[mem]), ("read_cts", mem)
+        assert _combine_ints(got.final_cts[mem]) == _ints(
+            want.final_cts[mem]), ("final_cts", mem)
+    assert _combine_ints(got.outputs) == _ints(want.outputs)
+
+
 def _queries(rng, names, k):
     w = ST.WORD
     out = []
@@ -56,28 +78,9 @@ def test_mpc_witness_matches_plaintext():
         jax.random.key(4), xr, yr, [q[0] for q in queries],
         instr_names=names)
 
-    assert got.n == want.n and got.memories == want.memories
-    for i in got.dims:
-        assert _combine_ints(got.dims[i]) == [
-            int(v) for v in np.asarray(
-                jax.device_get(F.to_int(FR, want.dims[i]))).reshape(-1)]
-    for mem in want.memories:
-        assert _combine_ints(got.e_polys[mem]) == [
-            int(v) for v in np.asarray(
-                jax.device_get(F.to_int(FR, want.e_polys[mem]))).reshape(-1)], mem
-        assert _combine_ints(got.read_cts[mem]) == [
-            int(v) for v in np.asarray(
-                jax.device_get(F.to_int(FR, want.read_cts[mem]))).reshape(-1)], mem
-        assert _combine_ints(got.final_cts[mem]) == [
-            int(v) for v in np.asarray(
-                jax.device_get(F.to_int(FR, want.final_cts[mem]))).reshape(-1)], mem
-    assert _combine_ints(got.outputs) == [
-        int(v) for v in np.asarray(
-            jax.device_get(F.to_int(FR, want.outputs))).reshape(-1)]
+    _assert_full_witness(got, want)
     for nm in names:
-        assert _combine_ints(got.flags[nm]) == [
-            int(v) for v in np.asarray(
-                jax.device_get(F.to_int(FR, want.flags[nm]))).reshape(-1)]
+        assert _combine_ints(got.flags[nm]) == _ints(want.flags[nm])
 
 
 def test_mpc_witness_mul_and_shift_modes():
@@ -149,12 +152,8 @@ def test_mpc_witness_word32_wide_modes():
         got = MW.generate_witness_rep3(
             jax.random.key(16), xr, yr, [q[0] for q in queries],
             instr_names=names)
-        for i in got.dims:
-            assert _combine_ints(got.dims[i]) == [
-                int(v) for v in np.asarray(
-                    jax.device_get(F.to_int(FR, want.dims[i]))).reshape(-1)]
-        assert _combine_ints(got.outputs) == [
-            int(v) for v in np.asarray(
-                jax.device_get(F.to_int(FR, want.outputs))).reshape(-1)]
+        # full assertion incl. the 64-bit subtable-read/counter path
+        # (e_polys / read_cts / final_cts at M=2^16) — VERDICT r3 weak #4
+        _assert_full_witness(got, want)
     finally:
         ST.set_config(16)
