@@ -365,31 +365,44 @@ def inv(spec: FieldSpec, a):
 
 @_jit_spec
 def batch_inv(spec: FieldSpec, a):
-    """Batched inversion over the leading axis via Montgomery's trick.
+    """Batched inversion over the leading axis, TREE-structured.
 
-    ``a``: [N, 16]. Cost: 3N muls + one Fermat inversion. Entries equal to
-    zero map to zero (matching arkworks' batch_inversion skip semantics).
+    ``a``: [N, 16]. Cost: ~3N muls + one Fermat inversion, arranged as
+    2*log2(N) FULL-WIDTH batched muls (product tree up, inverse tree down)
+    instead of a 2N-step sequential ``lax.scan`` — the scan form runs N
+    single-element muls back-to-back on device, which at N >= 2^18 is a
+    multi-minute single program that trips the TPU runtime's watchdog and
+    kills the worker (the round-3 "MSM bench crash" was this, via
+    to_affine in the bench setup). Inverses are canonical field elements,
+    so the result is bit-identical to the scan form.
+
+    Entries equal to zero map to zero (matching arkworks' batch_inversion
+    skip semantics).
     """
     n = a.shape[0]
     one = jnp.asarray(spec.one_mont)
     is_zero = jnp.all(a == 0, axis=-1)
     safe = _select(is_zero, jnp.broadcast_to(one, a.shape), a)
-
-    def scan_fwd(carry, x):
-        nxt = mul(spec, carry, x)
-        return nxt, carry  # prefix product excluding x
-
-    total, prefix = jax.lax.scan(scan_fwd, one, safe)
-    total_inv = inv(spec, total)
-
-    def scan_bwd(carry, xs):
-        x, pre = xs
-        out = mul(spec, carry, pre)  # inverse of x
-        nxt = mul(spec, carry, x)
-        return nxt, out
-
-    _, invs = jax.lax.scan(scan_bwd, total_inv, (safe, prefix), reverse=True)
-    return _select(is_zero, jnp.zeros_like(a), invs)
+    if n == 0:
+        return a
+    m = 1 << max(0, (n - 1).bit_length())
+    if m != n:
+        safe = jnp.concatenate(
+            [safe, jnp.broadcast_to(one, (m - n, NLIMBS))], axis=0)
+    # up-sweep: pairwise product tree
+    levels = [safe]
+    cur = safe
+    while cur.shape[0] > 1:
+        cur = mul(spec, cur[0::2], cur[1::2])
+        levels.append(cur)
+    invs = inv(spec, cur)                       # [1, 16] root inverse
+    # down-sweep: inv(l) = inv(parent) * r, inv(r) = inv(parent) * l
+    for lvl in reversed(levels[:-1]):
+        left, right = lvl[0::2], lvl[1::2]
+        inv_left = mul(spec, invs, right)
+        inv_right = mul(spec, invs, left)
+        invs = jnp.stack([inv_left, inv_right], axis=1).reshape(-1, NLIMBS)
+    return _select(is_zero, jnp.zeros_like(a), invs[:n])
 
 
 @_jit_spec

@@ -23,7 +23,12 @@ import jax.numpy as jnp
 
 from . import field as F
 
-BLK = 512  # elements per grid step; 16 limb rows x 512 lanes of u32 in VMEM
+import os
+
+# elements per grid step (16 limb rows x BLK u32 lanes resident in VMEM).
+# 2048 amortizes the ~1 us/step grid overhead that dominated the r3 bench
+# (2^20 mul = 2048 steps at BLK=512); env-tunable for the probe sweep.
+BLK = int(os.environ.get("COZK_FP_BLK", "2048"))
 
 MASK = 0xFFFF  # python ints only inside the kernel: pallas forbids captured
 SIXTEEN = 16   # traced constants

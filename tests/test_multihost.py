@@ -177,3 +177,50 @@ def test_three_process_artifact_co_spartan(tmp_path):
     for p, (pr, out) in enumerate(zip(procs, outs)):
         assert pr.returncode == 0, f"proc {p} failed:\n{out[-3000:]}"
         assert f"proc {p} ART OK" in out
+
+
+def test_pod_prove_cli_three_process(tmp_path):
+    """Turnkey pod entry (VERDICT r3 stretch #8): ``cli.py pod-setup`` +
+    3x ``cli.py pod-prove`` rehearsed as REAL processes on CPU — per-host
+    artifact loading, bit-identical joint proof, in-process verify on host
+    0, and a per-host bytes/latency report line."""
+    artdir = str(tmp_path / "pod")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo
+    env["COZK_CACHE"] = os.path.join(repo, ".jax_cache")
+    env["COZK_PLATFORM"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    env["XLA_FLAGS"] = flags.replace(
+        "--xla_force_host_platform_device_count=8", "") + \
+        " --xla_force_host_platform_device_count=2"
+    env.pop("JAX_PLATFORMS", None)
+
+    setup = subprocess.run(
+        [sys.executable, "-m", "co_zkvms_tpu.cli", "pod-setup",
+         "--circuit", "synthetic:12", "--artifacts", artdir,
+         "--chunks", "2", "--inputs", "3"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        timeout=1200)
+    assert setup.returncode == 0, setup.stdout.decode()[-3000:]
+
+    port = _free_port()
+    out_path = str(tmp_path / "pod_proof.json.gz")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "co_zkvms_tpu.cli", "pod-prove",
+             "--artifacts", artdir, "--coordinator", f"127.0.0.1:{port}",
+             "--num-processes", "3", "--process-id", str(p),
+             "--out", out_path],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
+        for p in range(3)
+    ]
+    outs = []
+    for p, pr in enumerate(procs):
+        out, _ = pr.communicate(timeout=1500)
+        outs.append(out.decode())
+    for p, (pr, out) in enumerate(zip(procs, outs)):
+        assert pr.returncode == 0, f"proc {p} failed:\n{out[-3000:]}"
+        assert f"[host {p}/3] load" in out          # bytes/latency report
+    assert "in-process verify: OK" in outs[0]
+    assert os.path.exists(out_path)
