@@ -174,6 +174,64 @@ def _add_kernel(px_ref, py_ref, pz_ref, qx_ref, qy_ref, qz_ref,
     _store(oz_ref, rz)
 
 
+def _add_incomplete_kernel(px_ref, py_ref, pz_ref, qx_ref, qy_ref, qz_ref,
+                           ox_ref, oy_ref, oz_ref, mod, n0):
+    """Jacobian addition WITHOUT the doubling path (MSM merge trees only).
+
+    Soundness of dropping p == q handling: every call site adds sums of
+    DISJOINT subsets of the input points (suffix-scan partners, group-fold
+    halves, sub-accumulator lanes). Two disjoint subset sums of fixed
+    curve points colliding is a nontrivial discrete-log relation among the
+    bases — for SRS/commitment bases that is cryptographically unreachable
+    (the standard incomplete-addition argument, cf. halo2's MSM). If it
+    ever did occur, h == 0 makes z3 == 0, i.e. the result degrades to the
+    infinity encoding rather than an undetected wrong point. Infinity
+    INPUTS (empty buckets, padding) are handled exactly.
+
+    Saves the ~35% of kernel ops the fused complete add spends on
+    _double_limbs + extra selects; general-purpose ``add`` stays complete.
+    """
+    m = list(mod)
+    px, py, pz = _load(px_ref), _load(py_ref), _load(pz_ref)
+    qx, qy, qz = _load(qx_ref), _load(qy_ref), _load(qz_ref)
+
+    z1z1 = FP._msq(pz, m, n0)
+    z2z2 = FP._msq(qz, m, n0)
+    u1 = FP._mm(px, z2z2, m, n0)
+    u2 = FP._mm(qx, z1z1, m, n0)
+    s1 = FP._mm(py, FP._mm(qz, z2z2, m, n0), m, n0)
+    s2 = FP._mm(qy, FP._mm(pz, z1z1, m, n0), m, n0)
+    h = FP._msub(u2, u1, m)
+    r = FP._msub(s2, s1, m)
+    h2 = FP._mdbl(h, m)
+    i = FP._msq(h2, m, n0)
+    j = FP._mm(h, i, m, n0)
+    rr = FP._mdbl(r, m)
+    v = FP._mm(u1, i, m, n0)
+    x3 = FP._msub(FP._msub(FP._msq(rr, m, n0), j, m), FP._mdbl(v, m), m)
+    y3 = FP._msub(
+        FP._mm(rr, FP._msub(v, x3, m), m, n0),
+        FP._mdbl(FP._mm(s1, j, m, n0), m), m,
+    )
+    zz = FP._madd(pz, qz, m)
+    z3 = FP._mm(
+        FP._msub(FP._msub(FP._msq(zz, m, n0), z1z1, m), z2z2, m),
+        h, m, n0,
+    )
+
+    p_inf = FP._mis_zero(pz)
+    q_inf = FP._mis_zero(qz)
+    rx = FP._msel(q_inf, px, x3)
+    ry = FP._msel(q_inf, py, y3)
+    rz = FP._msel(q_inf, pz, z3)
+    rx = FP._msel(p_inf, qx, rx)
+    ry = FP._msel(p_inf, qy, ry)
+    rz = FP._msel(p_inf, qz, rz)
+    _store(ox_ref, rx)
+    _store(oy_ref, ry)
+    _store(oz_ref, rz)
+
+
 def _double_kernel(px_ref, py_ref, pz_ref, ox_ref, oy_ref, oz_ref, mod, n0):
     m = list(mod)
     px, py, pz = _load(px_ref), _load(py_ref), _load(pz_ref)
@@ -208,13 +266,17 @@ def _bucket_accum_kernel(qx_ref, qy_ref, bx_ref, by_ref, bz_ref,
     px, py, pz = _load(bx_ref), _load(by_ref), _load(bz_ref)
     qx, qy = _load(qx_ref), _load(qy_ref)
 
+    # INCOMPLETE mixed add: the acc == q doubling case is dropped — the
+    # accumulator is a partial sum of a DISJOINT subset of the input
+    # points, so acc == q is a discrete-log relation among fixed bases
+    # (unreachable for SRS/commitment inputs; see _add_incomplete_kernel).
+    # acc == -q likewise. Both degrade to z3 == 0 (infinity), not a wrong
+    # point. Infinity inputs (empty bucket, zero-padded slot) are exact.
     z1z1 = FP._msq(pz, m, n0)
     u2 = FP._mm(qx, z1z1, m, n0)
     s2 = FP._mm(qy, FP._mm(pz, z1z1, m, n0), m, n0)
     h = FP._msub(u2, px, m)
     r = FP._msub(s2, py, m)
-    h_zero = FP._mis_zero(h)
-    r_zero = FP._mis_zero(r)
     hh = FP._msq(h, m, n0)
     ii = FP._mdbl(FP._mdbl(hh, m), m)
     j = FP._mm(h, ii, m, n0)
@@ -228,27 +290,15 @@ def _bucket_accum_kernel(qx_ref, qy_ref, bx_ref, by_ref, bz_ref,
     zh = FP._madd(pz, h, m)
     z3 = FP._msub(FP._msub(FP._msq(zh, m, n0), z1z1, m), hh, m)
 
-    dx, dy, dz = _double_limbs(px, py, pz, m, n0)
-
     zero = [jnp.zeros_like(px[0]) for _ in range(16)]
     onel = [jnp.full_like(px[0], o) for o in one]
     p_inf = FP._mis_zero(pz)
     q_inf = jnp.logical_and(FP._mis_zero(qx), FP._mis_zero(qy))
-    both = jnp.logical_and(jnp.logical_not(p_inf), jnp.logical_not(q_inf))
-    eq_case = jnp.logical_and(jnp.logical_and(h_zero, r_zero), both)
-    neg_case = jnp.logical_and(
-        jnp.logical_and(h_zero, jnp.logical_not(r_zero)), both
-    )
 
-    rx = FP._msel(eq_case, dx, x3)
-    ry = FP._msel(eq_case, dy, y3)
-    rz = FP._msel(eq_case, dz, z3)
-    rx = FP._msel(neg_case, onel, rx)
-    ry = FP._msel(neg_case, onel, ry)
-    rz = FP._msel(neg_case, zero, rz)
-    rx = FP._msel(q_inf, px, rx)
-    ry = FP._msel(q_inf, py, ry)
-    rz = FP._msel(q_inf, pz, rz)
+    rx = FP._msel(q_inf, px, x3)
+    ry = FP._msel(q_inf, py, y3)
+    rz = FP._msel(q_inf, pz, z3)
+    # from_affine(q), honoring q == infinity
     fa_x = FP._msel(q_inf, onel, qx)
     fa_y = FP._msel(q_inf, onel, qy)
     fa_z = FP._msel(q_inf, zero, onel)
@@ -366,6 +416,30 @@ def add(p, q):
     mod, one, n0 = _consts()
     kernel = functools.partial(_add_kernel, mod=tuple(mod), one=tuple(one),
                                n0=n0)
+    args = [_to_t(a, shape, n_pad)
+            for a in (p.x, p.y, p.z, q.x, q.y, q.z)]
+    ox, oy, oz = _call(kernel, 6, args, n_pad)
+    from .curve import JPoint
+
+    return JPoint(
+        ox.T[:n].reshape(shape + (16,)),
+        oy.T[:n].reshape(shape + (16,)),
+        oz.T[:n].reshape(shape + (16,)),
+    )
+
+
+@jax.jit
+def add_incomplete(p, q):
+    """Batched Jacobian add WITHOUT the p == q doubling path — for MSM
+    merge trees over disjoint subset sums only (see _add_incomplete_kernel
+    for the soundness argument). Infinity inputs handled exactly."""
+    shape = jnp.broadcast_shapes(p.x.shape[:-1], q.x.shape[:-1])
+    n = 1
+    for d in shape:
+        n *= d
+    n_pad = max(-(-n // BLK) * BLK, BLK)
+    mod, one, n0 = _consts()
+    kernel = functools.partial(_add_incomplete_kernel, mod=tuple(mod), n0=n0)
     args = [_to_t(a, shape, n_pad)
             for a in (p.x, p.y, p.z, q.x, q.y, q.z)]
     ox, oy, oz = _call(kernel, 6, args, n_pad)

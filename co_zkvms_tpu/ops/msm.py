@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from . import field as F
 from .field import FR, FQ
 from . import curve as C
+from . import curve_pallas as CP
 from .curve import APoint, JPoint
 
 SCALAR_BITS = 254
@@ -195,9 +196,9 @@ def _fused_group(pts32, digits_grp, c: int, r_rows: int) -> JPoint:
     from . import curve_pallas as CP
 
     nb = 1 << c
-    # cap total kernel lanes at 4096: the complete-add's ~10 live limb
-    # vectors put VMEM at ~2.6 MB + buckets + double-buffered IO; 16k lanes
-    # measured-OOMs the c=12 kernel
+    # cap total kernel lanes at 4096: the fused add's live limb vectors put
+    # VMEM near its limit — 8192 lanes compiles but runs ~2.3x slower per
+    # step (measured at c=12/2^20, r4), 16k lanes OOMs outright
     u = min(_UNROLL, max(1, 4096 // nb))
     r_eff = ((r_rows + u - 1) // u) * u
 
@@ -215,7 +216,7 @@ def _fused_group(pts32, digits_grp, c: int, r_rows: int) -> JPoint:
             half = sub.x.shape[0] // 2
             a = jax.tree.map(lambda t: t[:half], sub)
             b = jax.tree.map(lambda t: t[half:], sub)
-            sub = C.add(a, b)
+            sub = CP.add_incomplete(a, b)
         return 0, (sub.x[0], sub.y[0], sub.z[0])
 
     _, (bx, by, bz) = jax.lax.scan(body, 0, digits_grp)
@@ -251,7 +252,7 @@ def _fold_axis0(cur: JPoint, k: int) -> JPoint:
         partner = jax.tree.map(
             lambda p, i: F._select(valid, p, i), partner, inf
         )
-        return C.add(t, partner)
+        return CP.add_incomplete(t, partner)
 
     out = jax.lax.fori_loop(0, k.bit_length() - 1, level, cur)
     return JPoint(out.x[:1], out.y[:1], out.z[:1])
@@ -268,11 +269,14 @@ def _window_sums_fused(points: APoint, digits, c: int, occs) -> JPoint:
     nw = digits.shape[0]
 
     def _quant(r):
-        """Round the grid depth up to 2 significant bits: bounds the number
-        of distinct compiled shapes (static r_rows) at <= 25% extra rows."""
+        """Round the grid depth up to 3 significant bits: bounds the number
+        of distinct compiled shapes (static r_rows) at <= 12.5% extra rows
+        (grid rows are the sequential step count of the bucket kernel, so
+        padding slack is directly wall time; the persistent compile cache
+        absorbs the 2x larger variant set)."""
         if r <= 8:
             return 8
-        step = 1 << (r.bit_length() - 3)
+        step = 1 << max(r.bit_length() - 4, 0)
         return ((r + step - 1) // step) * step
 
     r_low_raw = max(max(occs[: nw - 1]), 1)
@@ -361,7 +365,7 @@ def _weighted_bucket_sum(buckets: JPoint, c: int) -> JPoint:
             partner = jax.tree.map(
                 lambda a, b: F._select(valid, a, b), partner, inf
             )
-            return C.add(t, partner)
+            return CP.add_incomplete(t, partner)
 
         return jax.lax.fori_loop(0, c, level, t)
 
@@ -452,6 +456,79 @@ def _horner_host(sums: JPoint, c: int) -> JPoint:
     return C.from_affine(C.points_from_ints([acc]))
 
 
+@jax.jit
+def _small_value_stats(std_limbs):
+    """(all scalars < 2^16?, #distinct values) for the counter-poly gate."""
+    small = jnp.all(std_limbs[:, 1:] == 0)
+    v = jnp.sort(std_limbs[:, 0])
+    distinct = 1 + jnp.sum(v[1:] != v[:-1])
+    return small, distinct
+
+
+@functools.partial(jax.jit, static_argnums=2)
+def _group_by_value(pts32, std_lo, u_bound: int):
+    """Sum points per distinct (small) scalar value: sorted segmented
+    suffix-sum in log2(N) full-width incomplete adds.
+
+    Counter polynomials (Lasso read/final counts — the bulk of a Jolt
+    prover's commits) have thousands of points per scalar VALUE; Pippenger
+    bucket occupancy equals that multiplicity, so both the dense-grid and
+    the while-loop paths degrade to multiplicity-many sequential steps.
+    Grouping first costs ~log2(N) batched adds regardless of skew, and the
+    remaining MSM has u_bound distinct scalars with multiplicity 1.
+
+    Returns (group sums JPoint [u_bound], group scalar values [u_bound]
+    u32, valid mask); invalid slots are infinity with value 0. Incomplete
+    adds are safe: every partner accumulates a disjoint run of distinct
+    input points (see curve_pallas._add_incomplete_kernel).
+    """
+    n = std_lo.shape[0]
+    order = jnp.argsort(std_lo)
+    vals = std_lo[order]
+    sorted32 = jnp.take(pts32, order, axis=0)
+    flags = jnp.concatenate(
+        [jnp.ones((1,), bool), vals[1:] != vals[:-1]])
+    segid = jnp.cumsum(flags)
+    one = jnp.asarray(FQ.one_mont)
+    px = sorted32[:, :16]
+    py = sorted32[:, 16:]
+    p_inf = jnp.all(jnp.concatenate([px, py], -1) == 0, axis=-1)
+    pz = jnp.where(p_inf[:, None], jnp.zeros((16,), jnp.uint32), one)
+    cur = JPoint(px, py, pz)
+    inf = C.infinity((n,))
+    pos = jnp.arange(n, dtype=jnp.int32)
+
+    def level(l, t):
+        s = jnp.left_shift(jnp.int32(1), l)
+        idx = jnp.clip(pos + s, 0, n - 1)
+        valid = jnp.logical_and(pos + s < n, segid[idx] == segid)
+        partner = JPoint(t.x[idx], t.y[idx], t.z[idx])
+        partner = jax.tree.map(
+            lambda a, b: F._select(valid, a, b), partner, inf)
+        return CP.add_incomplete(t, partner)
+
+    acc = jax.lax.fori_loop(0, max((n - 1).bit_length(), 1), level, cur)
+    heads = jnp.nonzero(flags, size=u_bound, fill_value=n)[0]
+    ok = heads < n
+    hidx = jnp.clip(heads, 0, n - 1)
+    gsum = JPoint(acc.x[hidx], acc.y[hidx], acc.z[hidx])
+    gsum = jax.tree.map(
+        lambda a, b: F._select(ok, a, b), gsum, C.infinity((u_bound,)))
+    gval = jnp.where(ok, vals[hidx], 0)
+    return gsum, gval, ok
+
+
+def _msm_by_value(points: APoint, std_lo, u_bound: int) -> JPoint:
+    """MSM for small-valued scalars via per-value grouping + a tiny MSM."""
+    pts32 = jnp.concatenate([points.x, points.y], axis=-1)
+    gsum, gval, _ = _group_by_value(pts32, std_lo, u_bound)
+    aff = C.to_affine(gsum)               # infinity -> (0, 0), zero scalar
+    limbs = jnp.zeros((u_bound, F.NLIMBS), jnp.uint32)
+    limbs = limbs.at[:, 0].set(gval & 0xFFFF)
+    limbs = limbs.at[:, 1].set(gval >> 16)
+    return msm(aff, F.to_mont(FR, limbs))
+
+
 def _auto_c(n: int) -> int:
     """Window size balancing lane volume vs sequential steps.
 
@@ -482,6 +559,15 @@ def msm(points: APoint, scalars_mont, c: int | None = None) -> JPoint:
     if c is None:
         c = _auto_c(n)
     nw = _n_windows(c)
+    if jax.default_backend() == "tpu" and n >= (1 << 13):
+        # counter-poly fast path: thousands of points per distinct value
+        # make bucket occupancy (= sequential steps) explode on both
+        # Pippenger paths; group by value first (log2 N batched adds)
+        std = F.from_mont(FR, scalars_mont)
+        small, distinct = jax.device_get(_small_value_stats(std))
+        u_bound = min(n // 8, 1 << 12)
+        if bool(small) and int(distinct) <= u_bound:
+            return _msm_by_value(points, std[:, 0], u_bound)
     digits = window_digits(scalars_mont, c)
     use_fused = jax.default_backend() == "tpu" and n >= (1 << (c + 2))
     if use_fused:

@@ -9,6 +9,7 @@ import jax.numpy as jnp
 from co_zkvms_tpu.ops import curve as C
 from co_zkvms_tpu.ops import field as F
 from co_zkvms_tpu.ops import msm as M
+from co_zkvms_tpu.ops.field import FR
 from co_zkvms_tpu.ops import ref_bn254 as bn
 
 
@@ -199,3 +200,28 @@ def test_pallas_curve_kernels_match_jnp(rng):
     want = C.double(pj)
     assert C.points_to_ints(C.to_affine(got)) == C.points_to_ints(
         C.to_affine(want))
+
+
+@pytest.mark.slow
+def test_msm_by_value_counter_path(rng):
+    """Counter-poly fast path: group-by-scalar-value + tiny MSM equals the
+    windowed baseline on skewed small-valued scalars (the Lasso read/final
+    counter commit shape)."""
+    from co_zkvms_tpu.ops import ref_bn254 as bn
+
+    n = 256
+    g = C.points_from_ints([bn.g1_coords(bn.G1_GEN)])
+    g1 = C.APoint(g.x[0], g.y[0])
+    exps = F.random(FR, jax.random.key(40), (n,))
+    pts = C.to_affine(M.fixed_base_msm(g1, exps))
+    # counter-like scalars: mostly 0/1, a few larger, heavy multiplicity
+    vals = [rng.choice([0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 7]) for _ in range(n)]
+    scalars = F.from_int(FR, vals)
+    std = F.from_mont(FR, scalars)
+    small, distinct = jax.device_get(M._small_value_stats(std))
+    assert bool(small) and int(distinct) <= 8
+    got = M._msm_by_value(pts, std[:, 0], 32)
+    want = M._horner_host(
+        M._all_window_sums(pts, M.window_digits(scalars, 8), 8), 8)
+    assert C.points_to_ints(C.to_affine(got)) == \
+        C.points_to_ints(C.to_affine(want))

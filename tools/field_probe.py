@@ -32,7 +32,8 @@ HBM_GBPS = 819.0
 
 
 def sync(x):
-    return int(jax.device_get(jnp.ravel(x)[0]))
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return int(jax.device_get(jnp.ravel(leaf)[0]))
 
 
 def rate(name, fn, n, muls, reps=3):
