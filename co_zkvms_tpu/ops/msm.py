@@ -346,10 +346,20 @@ def _weighted_sum_jit(buckets: JPoint, c: int) -> JPoint:
 
 
 def _weighted_bucket_sum(buckets: JPoint, c: int) -> JPoint:
-    """sum_b b * S_b per window via double suffix scan (see module doc)."""
+    """sum_b b * S_b per window via double suffix scan (see module doc).
+
+    Fold 1 (over raw bucket sums) may use the INCOMPLETE add: each pair
+    adds sums of disjoint bucket subsets, whose collision is a DLOG
+    relation. Fold 2 (over the suffix-cumulative values) MUST use the
+    complete add: whenever a run of buckets is empty the suffix value is
+    CONSTANT across the run, so a pair routinely adds two EQUAL group
+    elements — exactly the doubling case the incomplete formulas drop
+    (found the hard way in round 4: every spartan commit with an empty
+    bucket produced a wrong weighted sum; random 2^12 scalars fill all
+    256 buckets, which is why spot checks passed)."""
     nw, nb = buckets.x.shape[0], buckets.x.shape[1]
 
-    def _suffix_fold(t):
+    def _suffix_fold(t, complete: bool):
         inf = C.infinity((nw, nb))
         pos = jnp.arange(nb, dtype=jnp.int32)[None, :]
 
@@ -365,15 +375,16 @@ def _weighted_bucket_sum(buckets: JPoint, c: int) -> JPoint:
             partner = jax.tree.map(
                 lambda a, b: F._select(valid, a, b), partner, inf
             )
-            return CP.add_incomplete(t, partner)
+            return C.add(t, partner) if complete \
+                else CP.add_incomplete(t, partner)
 
         return jax.lax.fori_loop(0, c, level, t)
 
-    t = _suffix_fold(buckets)
+    t = _suffix_fold(buckets, complete=False)
     t = jax.tree.map(
         lambda a, b: a.at[:, 0].set(b[:, 0]), t, C.infinity((nw, nb))
     )
-    total = _suffix_fold(t)
+    total = _suffix_fold(t, complete=True)
     return JPoint(total.x[:, 0], total.y[:, 0], total.z[:, 0])
 
 

@@ -160,6 +160,101 @@ def _mds_apply(state, mds, t: int):
     return F.modsum(FR, jnp.moveaxis(out, -2, 0), axis=0)
 
 
+def _poseidon_kernel(s0_ref, s1_ref, s2_ref, rc_ref, mds_ref,
+                     o0_ref, o1_ref, o2_ref, mod, n0, r_p):
+    """Full t=3 Poseidon permutation for one lane block, VMEM-resident.
+
+    The jnp composition pays a limb-layout transpose around EVERY batched
+    field mul (the elementwise adds between muls defeat XLA's
+    transpose-cancellation) — measured 3.9 s for a 2^18-state batch. Here
+    the whole 65-round permutation runs on registers: per round, constants
+    are scalar-read from SMEM (dynamic round index), S-box and the 3x3 MDS
+    apply are straight _mm/_msq/_madd limb ops, and state never leaves
+    VMEM. Identical operation order to _permute_jit (bit-exact, tested).
+    """
+    from .field_pallas import _madd, _mm, _msq
+
+    m = list(mod)
+
+    def const_vec(row, like):
+        return [jnp.full_like(like, rc_ref[row, l]) for l in range(16)]
+
+    def mds_vec(i, j, like):
+        return [jnp.full_like(like, mds_ref[3 * i + j, l]) for l in range(16)]
+
+    def sbox(x):
+        x2 = _msq(x, m, n0)
+        x4 = _msq(x2, m, n0)
+        return _mm(x4, x, m, n0)
+
+    def addc(x, rnd, i):
+        return _madd(x, const_vec(rnd * 3 + i, x[0]), m)
+
+    def mds_apply(s):
+        out = []
+        for i in range(3):
+            acc = None
+            for j in range(3):
+                p = _mm(mds_vec(i, j, s[j][0]), s[j], m, n0)
+                acc = p if acc is None else _madd(acc, p, m)
+            out.append(acc)
+        return out
+
+    def full_round(rnd, st):
+        s = [sbox(addc(list(x), rnd, i)) for i, x in enumerate(st)]
+        return tuple(tuple(v) for v in mds_apply(s))
+
+    def partial_round(rnd, st):
+        s = [addc(list(x), rnd, i) for i, x in enumerate(st)]
+        s[0] = sbox(s[0])
+        return tuple(tuple(v) for v in mds_apply(s))
+
+    half = R_FULL // 2
+    st = tuple(tuple(ref[i, :] for i in range(16))
+               for ref in (s0_ref, s1_ref, s2_ref))
+    st = jax.lax.fori_loop(0, half, full_round, st)
+    st = jax.lax.fori_loop(half, half + r_p, partial_round, st)
+    st = jax.lax.fori_loop(half + r_p, 2 * half + r_p, full_round, st)
+    for ref, limbs in zip((o0_ref, o1_ref, o2_ref), st):
+        for i in range(16):
+            ref[i, :] = limbs[i]
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _permute_pallas_t3(state, r_p: int, rc, mds):
+    """[N, 3, 16] Montgomery states through the fused kernel."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from . import field_pallas as FP
+
+    n = state.shape[0]
+    blk = FP.BLK
+    n_pad = max(-(-n // blk) * blk, blk)
+    cols = []
+    for i in range(3):
+        c = state[:, i, :]
+        if n_pad != n:
+            c = jnp.pad(c, ((0, n_pad - n), (0, 0)))
+        cols.append(c.T)                      # [16, n_pad]
+    kernel = functools.partial(
+        _poseidon_kernel, mod=tuple(int(v) for v in FR.mod_limbs),
+        n0=FR.n0inv, r_p=r_p)
+    bspec = pl.BlockSpec((16, blk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    o0, o1, o2 = pl.pallas_call(
+        kernel,
+        grid=(n_pad // blk,),
+        in_specs=[bspec, bspec, bspec, sspec, sspec],
+        out_specs=(bspec, bspec, bspec),
+        out_shape=tuple(jax.ShapeDtypeStruct((16, n_pad), jnp.uint32)
+                        for _ in range(3)),
+        interpret=jax.default_backend() != "tpu",
+    )(cols[0], cols[1], cols[2], rc, mds)
+    return jnp.stack([o0.T[:n], o1.T[:n], o2.T[:n]], axis=1)
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def _permute_jit(state, t: int, rc, mds):
     half = R_FULL // 2
@@ -184,9 +279,20 @@ def _permute_jit(state, t: int, rc, mds):
 
 
 def permute(state):
-    """Poseidon permutation on a [..., t, 16] Montgomery state batch."""
+    """Poseidon permutation on a [..., t, 16] Montgomery state batch.
+
+    Large t=3 batches take the fused Pallas kernel (the whole permutation
+    in VMEM — see _poseidon_kernel); small batches and other widths use
+    the jnp composition. Bit-identical (tested)."""
     t = state.shape[-2]
     rc, mds = _params_dev(t)
+    batch = 1
+    for d in state.shape[:-2]:
+        batch *= d
+    if t == 3 and batch >= 1024 and jax.default_backend() == "tpu":
+        flat = state.reshape(batch, 3, 16)
+        out = _permute_pallas_t3(flat, R_PARTIAL[3], rc, mds)
+        return out.reshape(state.shape)
     return _permute_jit(state, t, rc, mds)
 
 

@@ -49,7 +49,17 @@ FIXED_CUTOFF = 1 << 8
 # compiled program covers every large round of a sumcheck instance (the
 # compile-boundedness fix — round-2 cold compiles of the shared collation
 # comb took ~45 min because every table size recompiled the comb graph).
-CHUNK = 1 << 12
+#
+# Chunk sizing: each fori iteration issues ~30 small kernel launches; at
+# 2^12 a 2^20-element prove makes ~15k of them and the TPU spends ~0.6 s
+# in launch latency alone (measured r4: 1.8 M elems/s ~ 0.1% of roofline).
+# 2^16 on TPU cuts the iteration count 16x with the same compiled-program
+# count; the chunk split point does not change any prover message (modular
+# addition is exactly associative). CPU keeps 2^12 (compile size).
+import os as _os
+
+CHUNK = int(_os.environ.get("COZK_SC_CHUNK", "0")) or (
+    1 << 16 if jax.default_backend() == "tpu" else 1 << 12)
 
 
 def _elem_slice(p, sl):

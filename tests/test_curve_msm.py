@@ -225,3 +225,45 @@ def test_msm_by_value_counter_path(rng):
         M._all_window_sums(pts, M.window_digits(scalars, 8), 8), 8)
     assert C.points_to_ints(C.to_affine(got)) == \
         C.points_to_ints(C.to_affine(want))
+
+
+@pytest.mark.skipif(_jax.default_backend() != "tpu",
+                    reason="pallas interpret mode is impractically slow on "
+                           "CPU; covered on hardware by this test + "
+                           "tools/msm_size_sweep.py (empty-bucket styles)")
+def test_weighted_sum_empty_bucket_runs(rng):
+    """Round-4 regression guard for the weighted-sum suffix scan.
+
+    With a run of EMPTY buckets the suffix-cumulative values are constant
+    across the run, so the second fold adds two EQUAL group elements — the
+    doubling case an incomplete addition drops. Exercises
+    _weighted_bucket_sum directly (interpret mode) on bucket arrays with
+    empty runs and checks against a host reference."""
+    import numpy as np
+    import jax as _j
+
+    nw, c = 2, 3
+    nb = 1 << c
+    pts = ref_points(rng, 3)
+    # window 0: buckets 2 and 5 occupied, rest empty (runs of empties);
+    # window 1: only bucket 6 occupied (constant suffix below it)
+    occupied = {(0, 2): pts[0], (0, 5): pts[1], (1, 6): pts[2]}
+    bx = np.zeros((nw, nb, 16), np.uint32)
+    by = np.zeros((nw, nb, 16), np.uint32)
+    bz = np.zeros((nw, nb, 16), np.uint32)
+    for (w, b), pt in occupied.items():
+        jp = C.from_affine(to_device([pt]))
+        bx[w, b] = np.asarray(_j.device_get(jp.x[0]))
+        by[w, b] = np.asarray(_j.device_get(jp.y[0]))
+        bz[w, b] = np.asarray(_j.device_get(jp.z[0]))
+    buckets = C.JPoint(jnp.asarray(bx), jnp.asarray(by), jnp.asarray(bz))
+    got = C.points_to_ints(C.to_affine(M._weighted_sum_jit(buckets, c)))
+    want = []
+    for w in range(nw):
+        acc = None
+        for b in range(nb):
+            if (w, b) in occupied:
+                term = bn.scalar_mul(occupied[(w, b)], b)
+                acc = term if acc is None else bn.add(acc, term)
+        want.append(bn.g1_coords(acc) if acc is not None else (0, 0))
+    assert got == want

@@ -67,3 +67,23 @@ def test_transcript_device_matches_host():
     st, ch2 = P.transcript_challenge(st)
     assert F.to_int(FR, ch2) == host.challenge()
     assert ch2 is not ch
+
+
+def test_fused_kernel_matches_jnp_path():
+    """The VMEM-resident Pallas permutation (interpret mode here) is
+    bit-identical to the jnp composition for a t=3 batch."""
+    import jax
+
+    from co_zkvms_tpu.ops import poseidon as P
+    from co_zkvms_tpu.ops import field as F
+    from co_zkvms_tpu.ops.field import FR
+
+    n = 8
+    state = F.random(FR, jax.random.key(31), (n, 3))
+    rc, mds = P._params_dev(3)
+    want = P._permute_jit(state, 3, rc, mds)
+    got = P._permute_pallas_t3(state, P.R_PARTIAL[3], rc, mds)
+    import numpy as np
+
+    assert np.array_equal(np.asarray(jax.device_get(got)),
+                          np.asarray(jax.device_get(want)))
