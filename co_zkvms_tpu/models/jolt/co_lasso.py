@@ -108,8 +108,9 @@ def prove_rep3(wit_shared: lasso.LassoWitness, srs: pst13.SRS,
             return wit.final_cts[key[1]]
         raise KeyError(key)
 
-    for key in order:
-        cm = mpc_pcs.commit_shares(srs, get_stack(key))
+    for key, cm in zip(order,
+                       mpc_pcs.commit_shares_batch(
+                           srs, [get_stack(k) for k in order])):
         comms[key] = cm
         ht.absorb_point(cm.xy)
 

@@ -426,6 +426,17 @@ class PlainBackend:
     def commit(self, srs, t):
         return pst13.commit(srs, t)
 
+    def commit_batch(self, srs, tables):
+        return pst13.commit_batch(srs, tables)
+
+    def eval_claims(self, tables, point):
+        """Evaluate many MLEs at one point with ONE host fetch: each
+        P.evaluate is pure device work; stacking the [16]-limb results and
+        converting once removes the per-claim device_get (107 s of the
+        measured sha2-chain e2e wall; README 'Performance')."""
+        vs = jnp.stack([P.evaluate(FR, t, point) for t in tables])
+        return [int(v) for v in F.to_int(FR, vs)]
+
     def sc_masks(self, nv, degree, tag):
         return None
 
@@ -507,6 +518,17 @@ class Rep3Backend:
 
     def commit(self, srs, t):
         return mpc_pcs.commit_shares(srs, t)
+
+    def commit_batch(self, srs, tables):
+        return mpc_pcs.commit_shares_batch(srs, tables)
+
+    def eval_claims(self, tables, point):
+        """Share-side evaluations opened through ONE combine + host fetch
+        (see PlainBackend.eval_claims). Only the scalar evaluations are
+        opened, exactly as per-claim mpc.eval_open."""
+        vs = jnp.stack([mpc.eval_shares(FR, t, point) for t in tables],
+                       axis=1)                       # [3, k, 16]
+        return [int(v) for v in F.to_int(FR, Sh.combine(FR, vs))]
 
     def sc_masks(self, nv, degree, tag):
         return jnp.stack([
@@ -697,25 +719,33 @@ def _prove_impl(be, program_words, srs, mem_bits, max_steps, memory,
         ht.absorb(v)
     for v in outputs:
         ht.absorb(v)
+    # all commitments are absorbed before the first challenge is drawn, so
+    # every commit MSM dispatches up-front and finishes through ONE batched
+    # fetch (commit_batch) — the sequential per-commit host waits were 82%
+    # of the measured sha2-chain commit-phase wall
+    t_names = t_column_order(cs, instr_names)
+    m_list = [(s, nm) for s, names in m_order.items() for nm in names]
+    cms = be.commit_batch(srs, [dev[k] for k in t_names]
+                          + [mdev[nm] for _, nm in m_list])
     comms = {}
-    for k in t_column_order(cs, instr_names):
-        cm = be.commit(srs, dev[k])
+    for k, cm in zip(t_names, cms[: len(t_names)]):
         comms[k] = cm
         ht.absorb_point(cm.xy)
-    for s, names in m_order.items():
-        for nm in names:
-            cm = be.commit(srs, mdev[nm])
-            comms[("m", s, nm)] = cm
-            ht.absorb_point(cm.xy)
+    for (s, nm), cm in zip(m_list, cms[len(t_names):]):
+        comms[("m", s, nm)] = cm
+        ht.absorb_point(cm.xy)
 
     evals = {}
     t_claims = []       # (table, point_dev, value) in canonical order
 
-    def claim(tag, name, table, point_dev):
-        v = be.eval_claim(table, point_dev)
-        evals[(tag, name)] = v
-        t_claims.append((table, point_dev, v))
-        return v
+    def claims(tag, names, point_dev):
+        """Batched trace-domain opening claims at one point (one fetch)."""
+        tabs = [dev[nm] for nm in names]
+        vs = be.eval_claims(tabs, point_dev)
+        for nm, tab, v in zip(names, tabs, vs):
+            evals[(tag, nm)] = v
+            t_claims.append((tab, point_dev, v))
+        return vs
 
     # 1. Lasso primary sumcheck (collation zerocheck over the trace
     # domain; Dao-Thaler split-eq)
@@ -732,11 +762,8 @@ def _prove_impl(be, program_words, srs, mem_bits, max_steps, memory,
                    eq_split=F.from_int(FR, r))
     ht.state = T.HostTranscript.from_device_state(res.state).state
     r_z = res.challenges
-    for nm in instr_names:
-        claim("rz", f"flag_{nm}", dev[f"flag_{nm}"], r_z)
-    for s, c in mems:
-        claim("rz", f"E_{s}_{c}", dev[f"E_{s}_{c}"], r_z)
-    claim("rz", "lookup_out", dev["lookup_out"], r_z)
+    claims("rz", [f"flag_{nm}" for nm in instr_names]
+           + [f"E_{s}_{c}" for s, c in mems] + ["lookup_out"], r_z)
 
     # 2. memory checking: one rw GKR batch (T domain) + per-size init/final
     gamma_i, tau_i = ht.challenges(2)
@@ -774,8 +801,7 @@ def _prove_impl(be, program_words, srs, mem_bits, max_steps, memory,
     ht.state = T.HostTranscript.from_device_state(state).state
 
     # rw-side opening claims at rho_rw
-    for name in _rw_claim_names(instr_names):
-        claim("rw", name, dev[name], rho_rw)
+    claims("rw", _rw_claim_names(instr_names), rho_rw)
 
     # init/final batches grouped by size
     if_proofs = {}
@@ -820,24 +846,23 @@ def _prove_impl(be, program_words, srs, mem_bits, max_steps, memory,
         ht.state = T.HostTranscript.from_device_state(state).state
         if_proofs[s] = pr
         rho_if[s] = rho_s
-        for nm in m_order[s]:
-            evals[("if", s, nm)] = be.eval_claim(mdev[nm], rho_s)
+        vs = be.eval_claims([mdev[nm] for nm in m_order[s]], rho_s)
+        for nm, v in zip(m_order[s], vs):
+            evals[("if", s, nm)] = v
 
     # 3. uniform Spartan over the step constraints
     sp_proof, r_t, shift_z = US.prove(ht, cs, dev, n, be)
     r_t_dev = F.from_int(FR, r_t)
-    for name in cs.committed:
-        claim("rt", name, dev[name], r_t_dev)
+    claims("rt", list(cs.committed), r_t_dev)
     shift_z_dev = F.from_int(FR, shift_z)
-    for cname, fin in zip(US.SHIFT_COLS, sp_proof.shift_finals):
-        claim("shift", cname, dev[cname], shift_z_dev)
-        assert evals[("shift", cname)] == fin
+    shift_vs = claims("shift", list(US.SHIFT_COLS), shift_z_dev)
+    for fin, v in zip(sp_proof.shift_finals, shift_vs):
+        assert v == fin
     # execution must START at the program entry: step 0 is a sequence-entry
     # row at pc = code_base (pins bc_addr[0] via the bytecode multiset;
     # without this a prover could begin mid-sequence, skipping asserts)
     t0_dev = F.from_int(FR, [0] * log_n)
-    for cname in ("cf_ventry", "bc_pc"):
-        claim("t0", cname, dev[cname], t0_dev)
+    claims("t0", ["cf_ventry", "bc_pc"], t0_dev)
     assert evals[("t0", "cf_ventry")] == 1
     assert evals[("t0", "bc_pc")] == code_base
 

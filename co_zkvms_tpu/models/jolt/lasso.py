@@ -247,8 +247,9 @@ def prove(wit: LassoWitness, srs: pst13.SRS) -> LassoProof:
             return wit.final_cts[key[1]]
         raise KeyError(key)
 
-    for key in order:
-        cm = pst13.commit(srs, get_table(key))
+    for key, cm in zip(order,
+                       pst13.commit_batch(srs,
+                                          [get_table(k) for k in order])):
         comms[key] = cm
         ht.absorb_point(cm.xy)
 

@@ -143,12 +143,13 @@ def prove(wits: list, srs: pst13.SRS) -> MemoryProof:
     assert len({w.mem_bits for w in wits}) == 1
     ht = T.HostTranscript(LABEL)
     comms = {}
-    for w in wits:
-        tabs = _tables(w)
-        for key in _TRACE_KEYS + _MEM_KEYS:
-            cm = pst13.commit(srs, tabs[key])
-            comms[(w.name, key)] = cm
-            ht.absorb_point(cm.xy)
+    wkeys = [(w.name, key, tabs[key])
+             for w, tabs in ((w, _tables(w)) for w in wits)
+             for key in _TRACE_KEYS + _MEM_KEYS]
+    for (wn, key, _), cm in zip(
+            wkeys, pst13.commit_batch(srs, [t for _, _, t in wkeys])):
+        comms[(wn, key)] = cm
+        ht.absorb_point(cm.xy)
 
     gamma_i, tau_i = ht.challenges(2)
     gamma, tau = F.from_int(FR, gamma_i), F.from_int(FR, tau_i)

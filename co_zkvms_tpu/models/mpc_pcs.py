@@ -18,10 +18,29 @@ MOD = FR.modulus
 
 def commit_shares(srs: pst13.SRS, stack) -> pst13.Commitment:
     """Commit each party's share [3, n, 16]; G1-sum = commitment of the value."""
-    acc = None
-    for p in range(3):
-        acc = bn.add(acc, pst13.commit(srs, stack[p]).point())
-    return pst13.Commitment(xy=bn.g1_coords(acc))
+    return commit_shares_batch(srs, [stack])[0]
+
+
+def commit_shares_batch(srs: pst13.SRS, stacks) -> list:
+    """Batched commit_shares: every party MSM of every stack dispatches
+    before any host fetch (two blocking rounds total via msm_batch_ints);
+    the 3 per-party G1 points of each stack sum on the host."""
+    from ..ops import msm as M
+
+    jobs = []
+    for st in stacks:
+        nv = st.shape[1].bit_length() - 1
+        lvl = srs.level(srs.nv - nv)
+        for p in range(3):
+            jobs.append((lvl, st[p]))
+    coords = M.msm_batch_ints(jobs)
+    out = []
+    for i in range(len(stacks)):
+        acc = None
+        for p in range(3):
+            acc = bn.add(acc, bn.g1_from_coords(coords[3 * i + p]))
+        out.append(pst13.Commitment(xy=bn.g1_coords(acc)))
+    return out
 
 
 def open_shares(srs: pst13.SRS, stack, point):

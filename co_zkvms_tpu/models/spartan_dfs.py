@@ -118,15 +118,10 @@ def build_index(r1cs: R1CS, srs: pst13.SRS) -> DFSIndex:
     d_freq_c = F.from_int(FR, [int(v) for v in freq_c])
     idx_mle = F.from_int(FR, list(range(n)))
 
-    comms = {
-        "row": pst13.commit(srs, row_mle),
-        "col": pst13.commit(srs, col_mle),
-        "val_a": pst13.commit(srs, d_vals[0]),
-        "val_b": pst13.commit(srs, d_vals[1]),
-        "val_c": pst13.commit(srs, d_vals[2]),
-        "freq_r": pst13.commit(srs, d_freq_r),
-        "freq_c": pst13.commit(srs, d_freq_c),
-    }
+    comms = dict(zip(
+        ("row", "col", "val_a", "val_b", "val_c", "freq_r", "freq_c"),
+        pst13.commit_batch(srs, [row_mle, col_mle, d_vals[0], d_vals[1],
+                                 d_vals[2], d_freq_r, d_freq_c])))
     return DFSIndex(
         nv=nv, dlog=dlog, dd=dlog - nv,
         rows=d_rows, cols=d_cols, vals=d_vals,
@@ -185,8 +180,7 @@ def prove_round4(index: DFSIndex, srs: pst13.SRS, ht: T.HostTranscript,
     e_rx = eq_rx[rows]
     e_ry = eq_ry[cols]
 
-    e_rx_comm = pst13.commit(srs, e_rx)
-    e_ry_comm = pst13.commit(srs, e_ry)
+    e_rx_comm, e_ry_comm = pst13.commit_batch(srs, [e_rx, e_ry])
     ht.absorb_point(e_rx_comm.xy)
     ht.absorb_point(e_ry_comm.xy)
     g_r, g_c, x_r, x_c = ht.challenges(4)
@@ -208,12 +202,9 @@ def prove_round4(index: DFSIndex, srs: pst13.SRS, ht: T.HostTranscript,
     h1r = F.batch_inv(FR, F.add(FR, dx_r[None], query_r))
     h1c = F.batch_inv(FR, F.add(FR, dx_c[None], query_c))
 
-    h_comms = {
-        "h0r": pst13.commit(srs, h0r_small),
-        "h1r": pst13.commit(srs, h1r),
-        "h0c": pst13.commit(srs, h0c_small),
-        "h1c": pst13.commit(srs, h1c),
-    }
+    h_comms = dict(zip(
+        ("h0r", "h1r", "h0c", "h1c"),
+        pst13.commit_batch(srs, [h0r_small, h1r, h0c_small, h1c])))
     for name in ("h0r", "h1r", "h0c", "h1c"):
         ht.absorb_point(h_comms[name].xy)
 

@@ -258,13 +258,37 @@ def _fold_axis0(cur: JPoint, k: int) -> JPoint:
     return JPoint(out.x[:1], out.y[:1], out.z[:1])
 
 
-def _window_sums_fused(points: APoint, digits, c: int, occs) -> JPoint:
+def _top_regroup(digits, c: int):
+    """Fold the top window's group index into its digits (see
+    _window_sums_fused): group g's digit d maps to bucket g*nb_top + d.
+    Returns (dig2, kb, k_split, nb_top); dig2 is None when k_split == 1.
+    Factored out so batched callers can prefetch dig2's occupancy in the
+    same host round as the per-window occupancies."""
+    nw = digits.shape[0]
+    top_bits = max(1, SCALAR_BITS - (nw - 1) * c)
+    nb = 1 << c
+    n_pts = digits.shape[1]
+    k_split = max(1, min(nb >> top_bits, n_pts & (-n_pts)))
+    nb_top = 1 << top_bits
+    if k_split == 1:
+        return None, 0, 1, nb_top
+    group = jnp.arange(n_pts, dtype=jnp.uint32) // jnp.uint32(
+        n_pts // k_split)
+    dtop = digits[nw - 1]
+    dig2 = jnp.where(dtop == 0, 0, dtop + group * jnp.uint32(nb_top))
+    kb = (k_split * nb_top).bit_length() - 1
+    return dig2, kb, k_split, nb_top
+
+
+def _window_sums_fused(points: APoint, digits, c: int, occs,
+                       occ2: int | None = None) -> JPoint:
     """All-window bucket sums with occupancy-grouped grids.
 
     The top window's digits span far fewer than c bits (254 = 8*31+6 for
     Fr), so its occupancy is ~4x the others — giving it its own grid depth
     keeps total work near the ideal nw*N adds instead of nw*R_max*nb.
-    ``occs``: host list of per-window max occupancies.
+    ``occs``: host list of per-window max occupancies. ``occ2``: prefetched
+    max occupancy of the regrouped top window (fetched here if None).
     """
     nw = digits.shape[0]
 
@@ -288,11 +312,8 @@ def _window_sums_fused(points: APoint, digits, c: int, occs) -> JPoint:
     # (K = 2^(c-top_bits)): each group accumulates into its own 2^top_bits
     # buckets — restoring both the grid volume (~N slots total) and the
     # kernel's lane utilization — and a fixed-shape fold merges the groups.
-    top_bits = max(1, SCALAR_BITS - (nw - 1) * c)
     nb = 1 << c
-    n_pts = digits.shape[1]
-    k_split = max(1, min(nb >> top_bits, n_pts & (-n_pts)))
-    nb_top = 1 << top_bits
+    dig2, kb, k_split, nb_top = _top_regroup(digits, c)
     if k_split == 1:
         r_low = _quant(r_low_raw)
         low = _fused_group(pts32, digits[: nw - 1], c, r_low)
@@ -300,17 +321,13 @@ def _window_sums_fused(points: APoint, digits, c: int, occs) -> JPoint:
                            _quant(max(occs[nw - 1], 1)))
     else:
         # spread the top window across k groups by folding the group index
-        # into the digit: group g's digit d -> combined bucket g*nb_top + d
-        # (digit 0 stays at global bucket 0, which the grid skips). This
-        # reuses the full-width kernel AT THE LOW WINDOWS' SHAPE — same
-        # compiled program, full lane utilization, ~N grid slots — then
-        # _fold_axis0 (one compiled program) folds the k group ranges.
-        group = jnp.arange(n_pts, dtype=jnp.uint32) // jnp.uint32(
-            n_pts // k_split)
-        dtop = digits[nw - 1]
-        dig2 = jnp.where(dtop == 0, 0, dtop + group * jnp.uint32(nb_top))
-        kb = (k_split * nb_top).bit_length() - 1
-        occ2 = int(jax.device_get(jnp.max(_occupancies(dig2[None], kb))))
+        # into the digit (digit 0 stays at global bucket 0, which the grid
+        # skips). This reuses the full-width kernel AT THE LOW WINDOWS'
+        # SHAPE — same compiled program, full lane utilization, ~N grid
+        # slots — then _fold_axis0 (one compiled program) folds the k
+        # group ranges.
+        if occ2 is None:
+            occ2 = int(jax.device_get(jnp.max(_occupancies(dig2[None], kb))))
         if kb == c:
             # one shared (c, r) shape for the low AND top grids: halves the
             # number of multi-minute _fused_group compiles (r3 weak #2a)
@@ -433,6 +450,16 @@ def _horner_host(sums: JPoint, c: int) -> JPoint:
     fetch them, run the 254-double Horner on Python bigints (~10 ms), and
     re-upload one point. Exact same group element; affine coords identical."""
     aff = C.points_to_ints(C.to_affine(sums))  # [(x, y)] ints, (0,0) = inf
+    xy = _horner_affine_ints(aff, c)
+    if xy == (0, 0):
+        return C.infinity((1,))
+    return C.from_affine(C.points_from_ints([xy]))
+
+
+def _horner_affine_ints(aff, c: int) -> tuple:
+    """Host-bigint Horner over per-window affine sums ``aff`` (list of
+    (x, y) int pairs, low window first, (0, 0) = infinity). Returns the
+    combined point's (x, y) ints, (0, 0) for infinity."""
     p = F.FQ_MODULUS
 
     def dbl(pt):
@@ -462,9 +489,7 @@ def _horner_host(sums: JPoint, c: int) -> JPoint:
         for _ in range(c):
             acc = dbl(acc)
         acc = add(acc, None if xy == (0, 0) else xy)
-    if acc is None:
-        return C.infinity((1,))
-    return C.from_affine(C.points_from_ints([acc]))
+    return (0, 0) if acc is None else acc
 
 
 @jax.jit
@@ -529,15 +554,22 @@ def _group_by_value(pts32, std_lo, u_bound: int):
     return gsum, gval, ok
 
 
-def _msm_by_value(points: APoint, std_lo, u_bound: int) -> JPoint:
-    """MSM for small-valued scalars via per-value grouping + a tiny MSM."""
+def _by_value_sums(points: APoint, std_lo, u_bound: int):
+    """Window sums for small-valued scalars: per-value grouping (log2 N
+    batched incomplete adds), then a u_bound-point follow-up MSM down the
+    while-loop path. After grouping every scalar value is distinct, so the
+    while-loop's step count (max bucket occupancy) is ~u_bound/2^c — and,
+    unlike a recursive msm() call, no further host gating round is needed
+    (msm_batch_ints promises two fetch rounds per chunk)."""
     pts32 = jnp.concatenate([points.x, points.y], axis=-1)
     gsum, gval, _ = _group_by_value(pts32, std_lo, u_bound)
     aff = C.to_affine(gsum)               # infinity -> (0, 0), zero scalar
     limbs = jnp.zeros((u_bound, F.NLIMBS), jnp.uint32)
     limbs = limbs.at[:, 0].set(gval & 0xFFFF)
     limbs = limbs.at[:, 1].set(gval >> 16)
-    return msm(aff, F.to_mont(FR, limbs))
+    c2 = _auto_c(u_bound)
+    digits2 = window_digits(F.to_mont(FR, limbs), c2)
+    return _all_window_sums(aff, digits2, c2), c2
 
 
 def _auto_c(n: int) -> int:
@@ -555,6 +587,58 @@ def _auto_c(n: int) -> int:
     return max(2, min(8, log2n // 2))
 
 
+def _plan_msm(points: APoint, scalars_mont, c: int | None) -> dict:
+    """Phase 1 of a (batched) MSM: dispatch every device quantity whose
+    HOST value gates a path choice — small-value stats (by-value gate),
+    per-window occupancies (fused gate + static grid depths), and the
+    regrouped top-window occupancy — WITHOUT blocking. The caller fetches
+    all plans' ``fetch`` pytrees in ONE device_get round, then calls
+    _sums_from_plan."""
+    n = points.x.shape[0]
+    if c is None:
+        c = _auto_c(n)
+    on_tpu = jax.default_backend() == "tpu"
+    plan = {"points": points, "c": c, "n": n, "fetch": {}}
+    if on_tpu and n >= (1 << 13):
+        # counter-poly fast path gate: thousands of points per distinct
+        # value make bucket occupancy (= sequential steps) explode on both
+        # Pippenger paths; group by value first (log2 N batched adds)
+        std = F.from_mont(FR, scalars_mont)
+        plan["std_lo"] = std[:, 0]
+        plan["fetch"]["svs"] = _small_value_stats(std)
+    digits = window_digits(scalars_mont, c)
+    plan["digits"] = digits
+    if on_tpu and n >= (1 << (c + 2)):
+        plan["fetch"]["occs"] = _occupancies(digits, c)
+        dig2, kb, k_split, _ = _top_regroup(digits, c)
+        if k_split > 1:
+            plan["fetch"]["occ2"] = jnp.max(_occupancies(dig2[None], kb))
+    return plan
+
+
+def _sums_from_plan(plan: dict, got: dict):
+    """Phase 2: given the host values of ``plan['fetch']``, dispatch the
+    window-sum computation down the chosen path. Returns (sums JPoint [nw],
+    effective window bits) — still fully on-device, no blocking."""
+    points, digits = plan["points"], plan["digits"]
+    c, n = plan["c"], plan["n"]
+    nw = _n_windows(c)
+    if "svs" in got:
+        small, distinct = got["svs"]
+        u_bound = min(n // 8, 1 << 12)
+        if bool(small) and int(distinct) <= u_bound:
+            return _by_value_sums(points, plan["std_lo"], u_bound)
+    if "occs" in got:
+        occs = [int(v) for v in got["occs"]]
+        # dense-grid memory is R*nb points per window; cap the waste
+        if max(occs[: nw - 1]) <= max(4, (4 * n) // (1 << c)):
+            occ2 = got.get("occ2")
+            occ2 = None if occ2 is None else int(occ2)
+            return _window_sums_fused(points, digits, c, occs,
+                                      occ2=occ2), c
+    return _all_window_sums(points, digits, c), c
+
+
 def msm(points: APoint, scalars_mont, c: int | None = None) -> JPoint:
     """Variable-base MSM: sum_i scalars[i] * points[i]. Returns batch-1 JPoint.
 
@@ -563,35 +647,55 @@ def msm(points: APoint, scalars_mont, c: int | None = None) -> JPoint:
     is identical for any c). On TPU, near-uniform digit distributions take
     the fused bucket kernel (buckets resident in VMEM, points streamed once
     per window, occupancy-grouped grid depths); pathologically skewed ones
-    (e.g. counter polynomials, where one bucket swallows most points) fall
-    back to the batched while-loop whose step count is max occupancy.
+    (e.g. counter polynomials, where one bucket swallows most points) take
+    per-value grouping or the batched while-loop whose step count is max
+    occupancy. Many independent MSMs should go through msm_batch_ints,
+    which amortizes the host gating round across the whole batch.
     """
-    n = points.x.shape[0]
-    if c is None:
-        c = _auto_c(n)
-    nw = _n_windows(c)
-    if jax.default_backend() == "tpu" and n >= (1 << 13):
-        # counter-poly fast path: thousands of points per distinct value
-        # make bucket occupancy (= sequential steps) explode on both
-        # Pippenger paths; group by value first (log2 N batched adds)
-        std = F.from_mont(FR, scalars_mont)
-        small, distinct = jax.device_get(_small_value_stats(std))
-        u_bound = min(n // 8, 1 << 12)
-        if bool(small) and int(distinct) <= u_bound:
-            return _msm_by_value(points, std[:, 0], u_bound)
-    digits = window_digits(scalars_mont, c)
-    use_fused = jax.default_backend() == "tpu" and n >= (1 << (c + 2))
-    if use_fused:
-        nb = 1 << c
-        occs = [int(v) for v in jax.device_get(_occupancies(digits, c))]
-        # dense-grid memory is R*nb points per window; cap the waste
-        if max(occs[: nw - 1]) <= max(4, (4 * n) // nb):
-            sums = _window_sums_fused(points, digits, c, occs)
-        else:
-            use_fused = False
-    if not use_fused:
-        sums = _all_window_sums(points, digits, c)  # JPoint [nw]
-    return _horner_host(sums, c)
+    plan = _plan_msm(points, scalars_mont, c)
+    got = jax.device_get(plan["fetch"])
+    sums, c_eff = _sums_from_plan(plan, got)
+    return _horner_host(sums, c_eff)
+
+
+def msm_batch_ints(jobs, chunk: int = 64) -> list:
+    """Many independent MSMs, finished on the host: ``jobs`` is a list of
+    (APoint batch, Fr-Montgomery scalars [N, 16]) pairs; returns one
+    affine (x, y) int pair per job ((0, 0) = infinity).
+
+    The whole batch costs TWO blocking fetch rounds per ``chunk`` jobs —
+    one device_get of every job's path-gating stats, then one fetch of all
+    window sums concatenated through a single batched to_affine — instead
+    of msm()'s ~2-3 round-trips per call. Through the TPU relay that
+    difference was 82% of the Jolt prover's commit-phase wall (222
+    per-commit MSMs x ~0.4 s of host round-trips; README 'Performance').
+    The group math is identical to per-call msm(); only the fetch schedule
+    differs. ``chunk`` bounds live digit-buffer memory (nw*N u32 per job).
+
+    Maps the reference's batch_msm (co-spartan/src/worker.rs:801-804,
+    co-jolt's batch-committed polynomials) — there a rayon loop over CPU
+    cores, here a dispatch-then-fetch schedule over one accelerator.
+    """
+    out = []
+    for lo in range(0, len(jobs), chunk):
+        batch = jobs[lo:lo + chunk]
+        plans = [_plan_msm(p, s, None) for p, s in batch]
+        got_all = jax.device_get([pl["fetch"] for pl in plans])
+        sums, eff = [], []
+        for pl, got in zip(plans, got_all):
+            s_i, c_i = _sums_from_plan(pl, got)
+            sums.append(s_i)
+            eff.append(c_i)
+        cat = JPoint(jnp.concatenate([s.x for s in sums]),
+                     jnp.concatenate([s.y for s in sums]),
+                     jnp.concatenate([s.z for s in sums]))
+        aff = C.points_to_ints(C.to_affine(cat))
+        off = 0
+        for s_i, c_i in zip(sums, eff):
+            nwi = s_i.x.shape[0]
+            out.append(_horner_affine_ints(aff[off:off + nwi], c_i))
+            off += nwi
+    return out
 
 
 # --- fixed-base MSM (SRS generation: one base, many scalars) ---------------

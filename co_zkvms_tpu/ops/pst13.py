@@ -133,19 +133,37 @@ def commit(srs: SRS, evals) -> Commitment:
     return Commitment(xy=_msm_to_coords(srs.level(lvl), evals))
 
 
+def commit_batch(srs: SRS, tables) -> list:
+    """Commit many MLE tables with two blocking host fetch rounds TOTAL
+    (msm_batch_ints) instead of ~3 round-trips per commit. Same group
+    elements as per-table commit(); maps the reference's batched commit
+    sweep (co-jolt jolt/vm/jolt/mod.rs commit phase, rayon over polys)."""
+    jobs = []
+    for t in tables:
+        nv = t.shape[0].bit_length() - 1
+        jobs.append((srs.level(srs.nv - nv), t))
+    return [Commitment(xy=xy) for xy in M.msm_batch_ints(jobs)]
+
+
 def open_at(srs: SRS, evals, point_mont) -> tuple:
-    """Open the MLE at ``point_mont`` [nv', 16]. Returns (value_int, proof)."""
+    """Open the MLE at ``point_mont`` [nv', 16]. Returns (value_int, proof).
+
+    The per-level quotient q_k depends only on the bound table, never on a
+    prior level's MSM — so all nv quotient MSMs dispatch first and finish
+    through ONE msm_batch_ints round instead of nv sequential host waits.
+    """
     n = evals.shape[0]
     nv = n.bit_length() - 1
     base = srs.nv - nv
     t = evals
-    pis = []
+    jobs = []
     for k in range(nv):
         even = t[0::2]
         odd = t[1::2]
         q = F.sub(FR, odd, even)
-        pis.append(_msm_to_coords(srs.level(base + k + 1), q))
+        jobs.append((srs.level(base + k + 1), q))
         t = P.bind_low(FR, t, point_mont[k])
+    pis = M.msm_batch_ints(jobs)
     value = int(F.to_int(FR, t[0]))
     return value, OpeningProof(pis=tuple(pis))
 
