@@ -276,19 +276,25 @@ def sub_spartan(n_cons_log2=12):
     z = b.solve_witness([3])
     index = spartan.SpartanIndex.from_r1cs(b.build())
     srs = pst13.setup_cached(index.nv, seed=7)
+    # emit after EVERY milestone: a parent-side timeout keeps the last line
     t0 = time.time()
     proof = spartan.prove(index, srs, z)
     t_first = time.time() - t0
+    log(f"spartan e2e 2^{n_cons_log2}: first prove {t_first:.2f}s "
+        f"(incl. compile)")
+    res = {f"spartan_2e{n_cons_log2}_first_s": round(t_first, 2)}
+    _emit(res)
+    ok = spartan.verify(index, srs, [3], proof)
+    log(f"spartan verify: {ok}")
+    res[f"spartan_2e{n_cons_log2}_verify_ok"] = bool(ok)
+    _emit(res)
     t0 = time.time()
     proof = spartan.prove(index, srs, z)
     t_second = time.time() - t0
-    log(f"spartan e2e 2^{n_cons_log2} constraints: first {t_first:.2f}s "
-        f"(incl. compile), steady {t_second:.2f}s")
-    ok = spartan.verify(index, srs, [3], proof)
-    log(f"spartan verify: {ok}")
-    _emit({f"spartan_2e{n_cons_log2}_steady_s": round(t_second, 2),
-           f"spartan_2e{n_cons_log2}_compile_s": round(t_first - t_second, 2),
-           f"spartan_2e{n_cons_log2}_verify_ok": bool(ok)})
+    log(f"spartan e2e 2^{n_cons_log2}: steady {t_second:.2f}s")
+    res[f"spartan_2e{n_cons_log2}_steady_s"] = round(t_second, 2)
+    res[f"spartan_2e{n_cons_log2}_compile_s"] = round(t_first - t_second, 2)
+    _emit(res)
 
 
 def sub_jolt():
@@ -312,29 +318,33 @@ def sub_jolt():
     t0 = time.time()
     srs = pst13.setup_cached(16, seed=33)   # covers M=2^16 final counters
     t_setup = time.time() - t0
+    # emit after EVERY milestone: a parent-side timeout keeps the last line
+    res = {"jolt_sha2_rows": 3667, "jolt_sha2_vs_ref_mpc_s": 10.2}
     t0 = time.time()
     proof = jolt.prove(img.program_words, srs, mem_bits=5,
                        max_steps=1 << 13, code_base=img.code_base,
                        out_bits=3)
     t_prove = time.time() - t0
+    log(f"jolt prove (first, incl. compile): {t_prove:.1f}s")
+    res["jolt_sha2_prove_s"] = round(t_prove, 1)
+    _emit(res)
+    t0 = time.time()
+    ok = jolt.verify(proof, img.program_words, srs)
+    t_ver = time.time() - t0
+    ok = ok and list(proof.outputs) == digest
+    res["jolt_sha2_verify_s"] = round(t_ver, 1)
+    res["jolt_sha2_ok"] = bool(ok)
+    _emit(res)
     t0 = time.time()
     proof2 = jolt.prove(img.program_words, srs, mem_bits=5,
                         max_steps=1 << 13, code_base=img.code_base,
                         out_bits=3)
     t_prove2 = time.time() - t0
-    t0 = time.time()
-    ok = jolt.verify(proof, img.program_words, srs)
-    t_ver = time.time() - t0
-    ok = ok and list(proof.outputs) == digest
     log(f"jolt zkVM e2e (sha2-chain x1 ELF, ~3.7k rows, WORD=32): "
         f"setup {t_setup:.1f}s prove {t_prove:.1f}s (steady {t_prove2:.1f}s) "
         f"verify {t_ver:.1f}s ok={ok}")
-    _emit({"jolt_sha2_rows": 3667,
-           "jolt_sha2_prove_s": round(t_prove, 1),
-           "jolt_sha2_prove_steady_s": round(t_prove2, 1),
-           "jolt_sha2_verify_s": round(t_ver, 1),
-           "jolt_sha2_ok": bool(ok),
-           "jolt_sha2_vs_ref_mpc_s": 10.2})
+    res["jolt_sha2_prove_steady_s"] = round(t_prove2, 1)
+    _emit(res)
 
 
 SUBS = {
@@ -368,17 +378,21 @@ def run_sub(name, args=(), timeout=900):
     try:
         proc = subprocess.run(cmd, env=env, timeout=timeout,
                               stdout=subprocess.PIPE, stderr=sys.stderr)
-    except subprocess.TimeoutExpired:
-        log(f"bench {label} TIMED OUT after {timeout}s")
-        return None
-    out = proc.stdout.decode(errors="replace")
+        out = proc.stdout.decode(errors="replace")
+        rc = proc.returncode
+    except subprocess.TimeoutExpired as exc:
+        # harvest whatever the sub already emitted — every sub _emit()s
+        # after each milestone precisely so a timeout still yields numbers
+        log(f"bench {label} TIMED OUT after {timeout}s (keeping any "
+            f"partial SUB_RESULT)")
+        out = (exc.stdout or b"").decode(errors="replace")
+        rc = "timeout"
     result = None
     for line in out.splitlines():
         if line.startswith("SUB_RESULT "):
             result = json.loads(line[len("SUB_RESULT "):])
-    if proc.returncode != 0:
-        log(f"bench {label} exited rc={proc.returncode} "
-            f"after {time.time()-t0:.0f}s")
+    if rc not in (0, "timeout"):
+        log(f"bench {label} exited rc={rc} after {time.time()-t0:.0f}s")
     return result
 
 

@@ -106,53 +106,82 @@ FQ = _make_spec("bn254_fq", FQ_MODULUS)
 # ---------------------------------------------------------------------------
 
 
+def _shift_up(x, k: int):
+    """Shift digits toward higher limb indices along the last axis (zeros in)."""
+    pad = [(0, 0)] * (x.ndim - 1) + [(k, 0)]
+    return jnp.pad(x[..., :-k], pad)
+
+
+def _ks_resolve(s, n: int):
+    """Kogge-Stone carry resolution over digit sums ``s`` (< 2^17 each).
+
+    Returns (canonical digits, carry_out in {0,1}). The carry recurrence
+    c_{i+1} = g_i | (p_i & c_i) is a prefix computation: log2(n) fully
+    vectorized rounds over the limb axis instead of an n-step lax.scan of
+    per-digit micro-kernels (the scan form issued 16 sequential launches
+    per add on TPU — the round-4 sumcheck/bind bottleneck). Bit-exact.
+    """
+    g = s >> LIMB_BITS                     # generates carry (0/1)
+    p = ((s & MASK) == MASK).astype(U32)   # propagates carry-in
+    k = 1
+    while k < n:
+        gs = _shift_up(g, k)
+        ps = _shift_up(p, k)
+        g = g | (p & gs)
+        p = p & ps
+        k <<= 1
+    carry_in = _shift_up(g, 1)
+    out = (s + carry_in) & MASK
+    return out, g[..., n - 1]
+
+
 def _carry_canonicalize(cols, n_out: int):
     """Propagate carries through loose uint32 columns -> canonical 16-bit digits.
 
     ``cols``: [..., K] with each entry < 2^32 - slack. Returns ([..., n_out],
-    carry_out) where digits < 2^16. lax.scan keeps the trace tiny.
+    carry_out) where digits < 2^16. Split each column into lo/hi halves, add
+    the shifted hi stream, then one Kogge-Stone resolution — all vectorized
+    over the limb axis (no sequential scan).
     """
     k = cols.shape[-1]
     if k < n_out:
         cols = jnp.concatenate(
             [cols, jnp.zeros(cols.shape[:-1] + (n_out - k,), dtype=U32)], axis=-1
         )
-    xs = jnp.moveaxis(cols[..., :n_out], -1, 0)
-
-    def body(carry, x):
-        v = x + carry
-        return v >> LIMB_BITS, v & MASK
-
-    carry, outs = jax.lax.scan(body, jnp.zeros(cols.shape[:-1], dtype=U32), xs)
-    return jnp.moveaxis(outs, 0, -1), carry
+    x = cols[..., :n_out]
+    lo = x & MASK
+    hi = x >> LIMB_BITS                    # each <= 2^16 - 1
+    s = lo + _shift_up(hi, 1)              # < 2^17 - 1
+    out, c = _ks_resolve(s, n_out)
+    return out, hi[..., n_out - 1] + c
 
 
 def _sub_limbs(a, b):
     """a - b over canonical digits; returns (diff canonical, borrow_out in {0,1})."""
     shape = jnp.broadcast_shapes(a.shape, b.shape)
     a = jnp.broadcast_to(a, shape)
-    xs = (jnp.moveaxis(a, -1, 0), jnp.moveaxis(jnp.broadcast_to(b, shape), -1, 0))
-
-    def body(borrow, x):
-        v = x[0] - x[1] - borrow
-        return (v >> 31) & 1, v & MASK  # negative wrapped -> top bit set
-
-    borrow, outs = jax.lax.scan(body, jnp.zeros(a.shape[:-1], dtype=U32), xs)
-    return jnp.moveaxis(outs, 0, -1), borrow
+    b = jnp.broadcast_to(b, shape)
+    n = shape[-1]
+    d = a - b                              # wraps mod 2^32
+    g = d >> 31                            # borrow generated (0/1)
+    p = ((d & MASK) == 0).astype(U32)      # borrow propagates
+    k = 1
+    while k < n:
+        gs = _shift_up(g, k)
+        ps = _shift_up(p, k)
+        g = g | (p & gs)
+        p = p & ps
+        k <<= 1
+    borrow_in = _shift_up(g, 1)
+    return (d - borrow_in) & MASK, g[..., n - 1]
 
 
 def _add_limbs(a, b):
     """a + b over canonical digits; returns (sum canonical, carry_out)."""
     shape = jnp.broadcast_shapes(a.shape, b.shape)
     a = jnp.broadcast_to(a, shape)
-    xs = (jnp.moveaxis(a, -1, 0), jnp.moveaxis(jnp.broadcast_to(b, shape), -1, 0))
-
-    def body(carry, x):
-        v = x[0] + x[1] + carry
-        return v >> LIMB_BITS, v & MASK
-
-    carry, outs = jax.lax.scan(body, jnp.zeros(a.shape[:-1], dtype=U32), xs)
-    return jnp.moveaxis(outs, 0, -1), carry
+    b = jnp.broadcast_to(b, shape)
+    return _ks_resolve(a + b, shape[-1])
 
 
 def _select(cond, a, b):
@@ -203,61 +232,58 @@ def neg(spec: FieldSpec, a):
 def _mul_columns(a, b):
     """Schoolbook 16x16-digit product -> 32 loose columns (each < 2^22).
 
-    16-step lax.scan over a's limbs; partial products are formed inside the
-    scan body so peak memory is O(batch * 32) — never the full [batch, 16,
-    16] outer product (which OOMs HBM at 2^20-element batches).
+    Fully unrolled (straight-line elementwise ops XLA fuses into one
+    kernel); per-column accumulators keep peak memory at O(batch * 32) —
+    never the full [batch, 16, 16] outer product (which OOMs HBM at
+    2^20-element batches). Used for small batches only; large TPU batches
+    dispatch to the Pallas kernel from mul().
     """
     shape = jnp.broadcast_shapes(a.shape, b.shape)
     a = jnp.broadcast_to(a, shape)
     b = jnp.broadcast_to(b, shape)
-    a_rows = jnp.moveaxis(a, -1, 0)  # [16, ...]
-    idx = jnp.arange(NLIMBS, dtype=jnp.int32)
-    zeros = jnp.zeros(shape[:-1] + (NLIMBS,), dtype=U32)
+    cols = [None] * (2 * NLIMBS)
 
-    def body(cols, x):
-        a_i, i = x
-        p = a_i[..., None] * b  # [..., 16], each < 2^32
-        lo = jnp.concatenate([p & MASK, zeros], axis=-1)
-        hi = jnp.concatenate([p >> LIMB_BITS, zeros], axis=-1)
-        cols = cols + jnp.roll(lo, i, axis=-1) + jnp.roll(hi, i + 1, axis=-1)
-        return cols, None
+    def acc(k, v):
+        cols[k] = v if cols[k] is None else cols[k] + v
 
-    cols0 = jnp.zeros(shape[:-1] + (2 * NLIMBS,), dtype=U32)
-    cols, _ = jax.lax.scan(body, cols0, (a_rows, idx))
-    return cols
+    for i in range(NLIMBS):
+        p = a[..., i, None] * b            # [..., 16], each < 2^32
+        lo = p & MASK
+        hi = p >> LIMB_BITS
+        for j in range(NLIMBS):
+            acc(i + j, lo[..., j])
+            acc(i + j + 1, hi[..., j])
+    zero = jnp.zeros(shape[:-1], dtype=U32)
+    return jnp.stack([zero if c is None else c for c in cols], axis=-1)
 
 
 def _redc(spec: FieldSpec, t_digits):
     """Montgomery reduction of a canonical 32-digit value T < m*R.
 
-    Returns T * R^{-1} mod m as canonical 16 digits. 16-step lax.scan with a
-    left-shifting window: the current digit is always column 0; each step
-    zeroes it (adds m * mi), pushes its exact carry into column 1, then
-    shifts. Columns stay < 2^23 so uint32 never overflows.
+    Returns T * R^{-1} mod m as canonical 16 digits. Fully unrolled (the
+    same column recurrence as the Pallas kernel's _redc_cols): per step i,
+    add m * mi to zero column i exactly, push its carry into column i+1.
+    Columns stay < 2^22 so uint32 never overflows; straight-line
+    elementwise ops XLA fuses into one kernel (the lax.scan form issued 16
+    sequential launches per reduction on TPU).
     """
-    m = jnp.asarray(spec.mod_limbs)
     n0 = jnp.uint32(spec.n0inv)
-    batch = t_digits.shape[:-1]
-    zeros_hi = jnp.zeros(batch + (NLIMBS,), dtype=U32)
-    zeros_1 = jnp.zeros(batch + (1,), dtype=U32)
-    zeros_15 = jnp.zeros(batch + (NLIMBS - 1,), dtype=U32)
-
-    def body(t, _):
-        mi = (t[..., 0] * n0) & MASK
-        p = mi[..., None] * m
+    mj = jnp.asarray(spec.mod_limbs)
+    cols = [t_digits[..., k] for k in range(2 * NLIMBS)]
+    for i in range(NLIMBS):
+        mi = (cols[i] * n0) & MASK
+        p = mi[..., None] * mj            # [..., 16], each < 2^32
         lo = p & MASK
         hi = p >> LIMB_BITS
-        t = t + jnp.concatenate([lo, zeros_hi], axis=-1)
-        t = t + jnp.concatenate([zeros_1, hi, zeros_15], axis=-1)
-        carry = t[..., 0] >> LIMB_BITS  # column 0 is an exact multiple of 2^16
-        t = jnp.concatenate([t[..., 1:], zeros_1], axis=-1)
-        t = t.at[..., 0].add(carry)
-        return t, None
-
-    t, _ = jax.lax.scan(body, t_digits, None, length=NLIMBS)
-    res, carry = _carry_canonicalize(t[..., :NLIMBS], NLIMBS)
+        for j in range(NLIMBS):
+            cols[i + j] = cols[i + j] + lo[..., j]
+            cols[i + j + 1] = cols[i + j + 1] + hi[..., j]
+        cols[i + 1] = cols[i + 1] + (cols[i] >> LIMB_BITS)
+    t = jnp.stack(cols[NLIMBS:], axis=-1)
+    res, carry = _carry_canonicalize(t, NLIMBS)
     # result < 2m (since T < m*R) => at most one subtraction; carry means >= 2^256 > m
-    d, borrow = _sub_limbs(res, jnp.broadcast_to(m, res.shape))
+    mb = jnp.asarray(spec.mod_limbs)
+    d, borrow = _sub_limbs(res, jnp.broadcast_to(mb, res.shape))
     take_d = jnp.logical_or(carry.astype(bool), jnp.logical_not(borrow.astype(bool)))
     return _select(take_d, d, res)
 

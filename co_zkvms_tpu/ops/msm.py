@@ -171,10 +171,65 @@ def _dense_grid(pts32, digits_w, c: int, r_rows: int):
 
 
 _UNROLL = 4
+_LANES = 4096
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def _fused_group(pts32, digits_grp, c: int, r_rows: int) -> JPoint:
+@jax.jit
+def _sort_rows(rows):
+    """Batched digit sort carrying the permutation: [k, N] u32 ->
+    (sorted digits [k, N], order [k, N] u32) in ONE lax.sort (the old
+    per-window in-scan argsorts plus the scatter-add occupancy histogram
+    together cost ~0.7 s of a 2.2 s 2^20 MSM)."""
+    n = rows.shape[1]
+    iot = jnp.broadcast_to(jnp.arange(n, dtype=jnp.uint32)[None], rows.shape)
+    ds, order = jax.lax.sort((rows, iot), dimension=1, num_keys=1)
+    return ds, order
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def _occs_from_sorted(ds, c: int):
+    """Per-row max bucket occupancy (bucket 0 excluded) from SORTED digit
+    rows, as the max run length of equal nonzero values: one cummax sweep
+    (vmapped searchsorted over 2^c ids measured ~67 ms at 2^20/22 rows;
+    this is bandwidth-bound at ~3 passes). Replaces the scatter-add
+    histogram (180 ms)."""
+    del c
+    n = ds.shape[1]
+    pos = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], ds.shape)
+    change = jnp.concatenate(
+        [jnp.ones(ds[:, :1].shape, bool), ds[:, 1:] != ds[:, :-1]], axis=1)
+    start = jax.lax.cummax(jnp.where(change, pos, -1), axis=1)
+    runlen = pos - start + 1
+    runlen = jnp.where(ds == 0, 0, runlen)
+    return jnp.max(runlen, axis=1)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _dense_grid_sorted(pts32, ds_w, order_w, c: int, r_rows: int):
+    """One window's dense [R, 16, nb] grid from PRE-sorted digits.
+
+    Same layout contract as _dense_grid, but the argsort happened once for
+    all windows in _sort_rows: here only the one random row gather (128 B
+    rows), the contiguous per-bucket slab slices, and the transpose."""
+    nb = 1 << c
+    sorted32 = jnp.take(pts32, order_w, axis=0)   # the one random gather
+    sorted32 = jnp.pad(sorted32, ((0, r_rows), (0, 0)))
+    bucket_ids = jnp.arange(nb, dtype=ds_w.dtype)
+    first = jnp.searchsorted(ds_w, bucket_ids, side="left")       # [nb]
+    count = jnp.searchsorted(ds_w, bucket_ids, side="right") - first
+    count = count.at[0].set(0)          # bucket 0 never accumulates
+    slabs = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(sorted32, (s, 0), (r_rows, 32))
+    )(first)                                                    # [nb, R, 32]
+    valid = jnp.arange(r_rows, dtype=jnp.int32)[None, :] < count[:, None]
+    slabs = jnp.where(valid[:, :, None], slabs, 0)
+    qx = jnp.transpose(slabs[:, :, :16], (1, 2, 0))
+    qy = jnp.transpose(slabs[:, :, 16:], (1, 2, 0))
+    return qx, qy
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _fused_group(pts32, ds_grp, order_grp, c: int, r_rows: int) -> JPoint:
     """Bucket sums for a GROUP of windows in ONE jitted program: per window,
     dense-grid gather + VMEM-resident Pallas accumulation
     (curve_pallas.bucket_accumulate). One launch per MSM group — unjitted
@@ -187,39 +242,49 @@ def _fused_group(pts32, digits_grp, c: int, r_rows: int) -> JPoint:
     HBM at c=10 (measured OOM). The scan bounds live grid memory to one
     window.
 
-    Latency hiding: one accumulator chain per bucket makes every kernel
-    step a serial dependency (measured ~3x off the flat field-mul rate).
-    Each bucket therefore gets U sub-accumulators — grid rows r=0..R-1 fold
-    into kernel row r//U, lane slot (r%U)*nb + b — giving the VPU U
-    independent add chains to interleave; a log2(U) tree of batched adds
-    folds the sub-buckets afterwards."""
+    Narrow windows get U sub-accumulators per bucket (grid rows r fold
+    into kernel row r//U, lane slot (r%U)*nbc + b) to fill the 4096 kernel
+    lanes; at full width (nb = 4096) a round-5 probe measured chain
+    splitting (s calls x u chains at constant lanes) to be perf-neutral —
+    the kernel is throughput-bound, not add-chain-latency-bound — so wide
+    windows run as ONE call (fewest launches/compiles). Lanes are capped
+    at 4096: 8192 runs ~2.3x slower per step (VMEM pressure), 16k OOMs."""
     from . import curve_pallas as CP
 
     nb = 1 << c
-    # cap total kernel lanes at 4096: the fused add's live limb vectors put
-    # VMEM near its limit — 8192 lanes compiles but runs ~2.3x slower per
-    # step (measured at c=12/2^20, r4), 16k lanes OOMs outright
-    u = min(_UNROLL, max(1, 4096 // nb))
+    # lanes = u*nb/s must be a multiple of 128 (Mosaic tiling) and <= 4096
+    u = max(1, min(_LANES // nb, max(_UNROLL, 128 // nb)))
+    s = max(1, (nb * u) // _LANES)     # bucket-range splits per window
+    nbc = nb // s
     r_eff = ((r_rows + u - 1) // u) * u
 
-    def body(_, digits_w):
-        qx, qy, _occ = _dense_grid(pts32, digits_w, c, r_eff)
-        # [R, 16, nb] -> [R/u, 16, u*nb]: sub-accumulator lanes
-        qx = qx.reshape(r_eff // u, u, 16, nb).transpose(0, 2, 1, 3)
-        qy = qy.reshape(r_eff // u, u, 16, nb).transpose(0, 2, 1, 3)
-        qx = qx.reshape(r_eff // u, 16, u * nb)
-        qy = qy.reshape(r_eff // u, 16, u * nb)
-        ox, oy, oz = CP.bucket_accumulate(qx, qy, u * nb)
-        sub = JPoint(ox.T.reshape(u, nb, -1), oy.T.reshape(u, nb, -1),
-                     oz.T.reshape(u, nb, -1))
-        while sub.x.shape[0] > 1:
-            half = sub.x.shape[0] // 2
-            a = jax.tree.map(lambda t: t[:half], sub)
-            b = jax.tree.map(lambda t: t[half:], sub)
-            sub = CP.add_incomplete(a, b)
-        return 0, (sub.x[0], sub.y[0], sub.z[0])
+    def body(_, row):
+        ds_w, order_w = row
+        qx, qy = _dense_grid_sorted(pts32, ds_w, order_w, c, r_eff)
+        parts = []
+        for si in range(s):
+            gx = qx[:, :, si * nbc:(si + 1) * nbc]
+            gy = qy[:, :, si * nbc:(si + 1) * nbc]
+            # [R, 16, nbc] -> [R/u, 16, u*nbc]: sub-accumulator lanes
+            gx = gx.reshape(r_eff // u, u, 16, nbc).transpose(0, 2, 1, 3)
+            gy = gy.reshape(r_eff // u, u, 16, nbc).transpose(0, 2, 1, 3)
+            gx = gx.reshape(r_eff // u, 16, u * nbc)
+            gy = gy.reshape(r_eff // u, 16, u * nbc)
+            ox, oy, oz = CP.bucket_accumulate(gx, gy, u * nbc)
+            sub = JPoint(ox.T.reshape(u, nbc, -1), oy.T.reshape(u, nbc, -1),
+                         oz.T.reshape(u, nbc, -1))
+            while sub.x.shape[0] > 1:
+                half = sub.x.shape[0] // 2
+                a = jax.tree.map(lambda t: t[:half], sub)
+                b = jax.tree.map(lambda t: t[half:], sub)
+                sub = CP.add_incomplete(a, b)
+            parts.append(sub)
+        bx = jnp.concatenate([p.x[0] for p in parts], axis=0)
+        by = jnp.concatenate([p.y[0] for p in parts], axis=0)
+        bz = jnp.concatenate([p.z[0] for p in parts], axis=0)
+        return 0, (bx, by, bz)
 
-    _, (bx, by, bz) = jax.lax.scan(body, 0, digits_grp)
+    _, (bx, by, bz) = jax.lax.scan(body, 0, (ds_grp, order_grp))
     return JPoint(bx, by, bz)  # [g, nb]
 
 
@@ -280,28 +345,32 @@ def _top_regroup(digits, c: int):
     return dig2, kb, k_split, nb_top
 
 
-def _window_sums_fused(points: APoint, digits, c: int, occs,
-                       occ2: int | None = None) -> JPoint:
-    """All-window bucket sums with occupancy-grouped grids.
+def _quant(r):
+    """Round a grid depth up to 3 significant bits: bounds the number of
+    distinct compiled shapes (static r_rows) at <= 12.5% extra rows (grid
+    rows are the sequential step count of the bucket kernel, so padding
+    slack is directly wall time; the persistent compile cache absorbs the
+    2x larger variant set)."""
+    if r <= 8:
+        return 8
+    step = 1 << max(r.bit_length() - 4, 0)
+    return ((r + step - 1) // step) * step
+
+
+def _window_sums_fused(points: APoint, plan: dict, occs) -> JPoint:
+    """All-window bucket sums with occupancy-grouped grids over PRE-sorted
+    digit rows (plan['ds']/plan['order'] from _plan_sort; row nw-1 is the
+    top window — regrouped when k_split > 1).
 
     The top window's digits span far fewer than c bits (254 = 8*31+6 for
     Fr), so its occupancy is ~4x the others — giving it its own grid depth
     keeps total work near the ideal nw*N adds instead of nw*R_max*nb.
-    ``occs``: host list of per-window max occupancies. ``occ2``: prefetched
-    max occupancy of the regrouped top window (fetched here if None).
+    ``occs``: host list of per-row max occupancies.
     """
-    nw = digits.shape[0]
-
-    def _quant(r):
-        """Round the grid depth up to 3 significant bits: bounds the number
-        of distinct compiled shapes (static r_rows) at <= 12.5% extra rows
-        (grid rows are the sequential step count of the bucket kernel, so
-        padding slack is directly wall time; the persistent compile cache
-        absorbs the 2x larger variant set)."""
-        if r <= 8:
-            return 8
-        step = 1 << max(r.bit_length() - 4, 0)
-        return ((r + step - 1) // step) * step
+    c = plan["c"]
+    nw = _n_windows(c)
+    ds, order = plan["ds"], plan["order"]
+    kb, k_split, nb_top = plan["kb"], plan["k_split"], plan["nb_top"]
 
     r_low_raw = max(max(occs[: nw - 1]), 1)
     pts32 = jnp.concatenate([points.x, points.y], axis=-1)  # 128 B rows
@@ -313,21 +382,19 @@ def _window_sums_fused(points: APoint, digits, c: int, occs,
     # buckets — restoring both the grid volume (~N slots total) and the
     # kernel's lane utilization — and a fixed-shape fold merges the groups.
     nb = 1 << c
-    dig2, kb, k_split, nb_top = _top_regroup(digits, c)
     if k_split == 1:
         r_low = _quant(r_low_raw)
-        low = _fused_group(pts32, digits[: nw - 1], c, r_low)
-        top = _fused_group(pts32, digits[nw - 1 :], c,
+        low = _fused_group(pts32, ds[: nw - 1], order[: nw - 1], c, r_low)
+        top = _fused_group(pts32, ds[nw - 1:], order[nw - 1:], c,
                            _quant(max(occs[nw - 1], 1)))
     else:
-        # spread the top window across k groups by folding the group index
-        # into the digit (digit 0 stays at global bucket 0, which the grid
-        # skips). This reuses the full-width kernel AT THE LOW WINDOWS'
-        # SHAPE — same compiled program, full lane utilization, ~N grid
-        # slots — then _fold_axis0 (one compiled program) folds the k
-        # group ranges.
-        if occ2 is None:
-            occ2 = int(jax.device_get(jnp.max(_occupancies(dig2[None], kb))))
+        # the top window's points are spread across k groups by folding the
+        # group index into the digit (digit 0 stays at global bucket 0,
+        # which the grid skips — see _top_regroup). This reuses the
+        # full-width kernel AT THE LOW WINDOWS' SHAPE — same compiled
+        # program, full lane utilization, ~N grid slots — then _fold_axis0
+        # (one compiled program) folds the k group ranges.
+        occ2 = occs[-1]
         if kb == c:
             # one shared (c, r) shape for the low AND top grids: halves the
             # number of multi-minute _fused_group compiles (r3 weak #2a)
@@ -336,8 +403,8 @@ def _window_sums_fused(points: APoint, digits, c: int, occs,
         else:
             r_low = _quant(r_low_raw)
             r_top = _quant(max(occ2, 1))
-        low = _fused_group(pts32, digits[: nw - 1], c, r_low)
-        comb = _fused_group(pts32, dig2[None], kb, r_top)   # [1, k*nb_top]
+        low = _fused_group(pts32, ds[: nw - 1], order[: nw - 1], c, r_low)
+        comb = _fused_group(pts32, ds[nw - 1:], order[nw - 1:], kb, r_top)
         cur = JPoint(comb.x.reshape(k_split, nb_top, -1),
                      comb.y.reshape(k_split, nb_top, -1),
                      comb.z.reshape(k_split, nb_top, -1))
@@ -362,8 +429,8 @@ def _weighted_sum_jit(buckets: JPoint, c: int) -> JPoint:
     return _weighted_bucket_sum(buckets, c)
 
 
-def _weighted_bucket_sum(buckets: JPoint, c: int) -> JPoint:
-    """sum_b b * S_b per window via double suffix scan (see module doc).
+def _suffix_weighted(t, bits: int, nw: int, nb: int) -> JPoint:
+    """sum_b b * t_b over [nw, nb] buckets via double suffix scan.
 
     Fold 1 (over raw bucket sums) may use the INCOMPLETE add: each pair
     adds sums of disjoint bucket subsets, whose collision is a DLOG
@@ -374,7 +441,6 @@ def _weighted_bucket_sum(buckets: JPoint, c: int) -> JPoint:
     (found the hard way in round 4: every spartan commit with an empty
     bucket produced a wrong weighted sum; random 2^12 scalars fill all
     256 buckets, which is why spot checks passed)."""
-    nw, nb = buckets.x.shape[0], buckets.x.shape[1]
 
     def _suffix_fold(t, complete: bool):
         inf = C.infinity((nw, nb))
@@ -395,14 +461,55 @@ def _weighted_bucket_sum(buckets: JPoint, c: int) -> JPoint:
             return C.add(t, partner) if complete \
                 else CP.add_incomplete(t, partner)
 
-        return jax.lax.fori_loop(0, c, level, t)
+        return jax.lax.fori_loop(0, bits, level, t)
 
-    t = _suffix_fold(buckets, complete=False)
+    t = _suffix_fold(t, complete=False)
     t = jax.tree.map(
         lambda a, b: a.at[:, 0].set(b[:, 0]), t, C.infinity((nw, nb))
     )
     total = _suffix_fold(t, complete=True)
     return JPoint(total.x[:, 0], total.y[:, 0], total.z[:, 0])
+
+
+def _axis_reduce(t: JPoint, axis: int) -> JPoint:
+    """Tree-sum a JPoint array along ``axis`` with INCOMPLETE adds (each
+    pair combines sums over disjoint bucket subsets — the fold-1 DLOG
+    argument; infinity inputs are exact)."""
+    while t.x.shape[axis] > 1:
+        half = t.x.shape[axis] // 2
+        a = jax.tree.map(lambda v: jax.lax.slice_in_dim(v, 0, half, axis=axis), t)
+        b = jax.tree.map(
+            lambda v: jax.lax.slice_in_dim(v, half, 2 * half, axis=axis), t)
+        t = CP.add_incomplete(a, b)
+    return t
+
+
+def _weighted_bucket_sum(buckets: JPoint, c: int) -> JPoint:
+    """sum_b b * S_b per window, digit-SPLIT: with b = hi * 2^l + lo,
+
+        sum_b b*S_b = 2^l * sum_hi hi * (sum_lo S) + sum_lo lo * (sum_hi S),
+
+    so the two suffix scans run at widths 2^h and 2^l instead of 2^c —
+    the marginal reductions are log-depth trees of full-width incomplete
+    adds (HALVING width per level, ~2*2^c total lane work, vs the flat
+    2c*2^c of a full-width double-suffix scan). This keeps the weighted
+    stage cheap as c grows."""
+    nw, nb = buckets.x.shape[0], buckets.x.shape[1]
+    if nb <= 16:
+        return _suffix_weighted(buckets, c, nw, nb)
+    lbits = c // 2
+    hbits = c - lbits
+    grid = jax.tree.map(
+        lambda v: v.reshape(nw, 1 << hbits, 1 << lbits, F.NLIMBS), buckets)
+    s_hi = _axis_reduce(grid, axis=2)        # [nw, 2^h, 1]
+    s_hi = jax.tree.map(lambda v: v[:, :, 0], s_hi)
+    s_lo = _axis_reduce(grid, axis=1)        # [nw, 1, 2^l]
+    s_lo = jax.tree.map(lambda v: v[:, 0], s_lo)
+    w_hi = _suffix_weighted(s_hi, hbits, nw, 1 << hbits)   # [nw]
+    w_lo = _suffix_weighted(s_lo, lbits, nw, 1 << lbits)   # [nw]
+    for _ in range(lbits):
+        w_hi = C.double(w_hi)
+    return C.add(w_hi, w_lo)
 
 
 @functools.partial(jax.jit, static_argnums=1)
@@ -588,12 +695,10 @@ def _auto_c(n: int) -> int:
 
 
 def _plan_msm(points: APoint, scalars_mont, c: int | None) -> dict:
-    """Phase 1 of a (batched) MSM: dispatch every device quantity whose
-    HOST value gates a path choice — small-value stats (by-value gate),
-    per-window occupancies (fused gate + static grid depths), and the
-    regrouped top-window occupancy — WITHOUT blocking. The caller fetches
-    all plans' ``fetch`` pytrees in ONE device_get round, then calls
-    _sums_from_plan."""
+    """Phase 1 of a (batched) MSM: dispatch the window digits and the
+    small-value stats (by-value path gate) WITHOUT blocking. The caller
+    fetches all plans' ``fetch`` pytrees in ONE device_get round, then
+    calls _plan_sort."""
     n = points.x.shape[0]
     if c is None:
         c = _auto_c(n)
@@ -606,37 +711,55 @@ def _plan_msm(points: APoint, scalars_mont, c: int | None) -> dict:
         std = F.from_mont(FR, scalars_mont)
         plan["std_lo"] = std[:, 0]
         plan["fetch"]["svs"] = _small_value_stats(std)
-    digits = window_digits(scalars_mont, c)
-    plan["digits"] = digits
-    if on_tpu and n >= (1 << (c + 2)):
-        plan["fetch"]["occs"] = _occupancies(digits, c)
-        dig2, kb, k_split, _ = _top_regroup(digits, c)
-        if k_split > 1:
-            plan["fetch"]["occ2"] = jnp.max(_occupancies(dig2[None], kb))
+    plan["digits"] = window_digits(scalars_mont, c)
     return plan
 
 
-def _sums_from_plan(plan: dict, got: dict):
-    """Phase 2: given the host values of ``plan['fetch']``, dispatch the
-    window-sum computation down the chosen path. Returns (sums JPoint [nw],
-    effective window bits) — still fully on-device, no blocking."""
-    points, digits = plan["points"], plan["digits"]
-    c, n = plan["c"], plan["n"]
-    nw = _n_windows(c)
-    if "svs" in got:
-        small, distinct = got["svs"]
+def _plan_sort(plan: dict, got1: dict) -> dict:
+    """Phase 2: with the by-value gate resolved, dispatch the batched digit
+    sort + occupancy sweep for the fused path (skipped entirely for
+    by-value/small jobs, so counter-poly commits never pay for a sort).
+    Returns the phase-2 fetch dict (one more non-blocking device round)."""
+    n, c = plan["n"], plan["c"]
+    if "svs" in got1:
+        small, distinct = got1["svs"]
         u_bound = min(n // 8, 1 << 12)
         if bool(small) and int(distinct) <= u_bound:
-            return _by_value_sums(points, plan["std_lo"], u_bound)
-    if "occs" in got:
-        occs = [int(v) for v in got["occs"]]
+            plan["path"] = "byvalue"
+            plan["u_bound"] = u_bound
+            return {}
+    on_tpu = jax.default_backend() == "tpu"
+    if not (on_tpu and n >= (1 << (c + 2))):
+        plan["path"] = "loop"
+        return {}
+    digits = plan["digits"]
+    nw = _n_windows(c)
+    dig2, kb, k_split, nb_top = _top_regroup(digits, c)
+    top_row = digits[nw - 1] if k_split == 1 else dig2
+    rows = jnp.concatenate([digits[: nw - 1], top_row[None]], axis=0)
+    ds, order = _sort_rows(rows)
+    plan.update(ds=ds, order=order, kb=kb, k_split=k_split, nb_top=nb_top)
+    plan["path"] = "fused"
+    # kb <= c always, so a c-bit id sweep covers the regrouped top row too
+    return {"occs": _occs_from_sorted(ds, c)}
+
+
+def _sums_from_plan(plan: dict, got2: dict):
+    """Phase 3: dispatch the window-sum computation down the chosen path.
+    Returns (sums JPoint [nw], effective window bits) — still fully
+    on-device, no blocking."""
+    points = plan["points"]
+    c, n = plan["c"], plan["n"]
+    nw = _n_windows(c)
+    path = plan.get("path")
+    if path == "byvalue":
+        return _by_value_sums(points, plan["std_lo"], plan["u_bound"])
+    if path == "fused" and "occs" in got2:
+        occs = [int(v) for v in got2["occs"]]
         # dense-grid memory is R*nb points per window; cap the waste
         if max(occs[: nw - 1]) <= max(4, (4 * n) // (1 << c)):
-            occ2 = got.get("occ2")
-            occ2 = None if occ2 is None else int(occ2)
-            return _window_sums_fused(points, digits, c, occs,
-                                      occ2=occ2), c
-    return _all_window_sums(points, digits, c), c
+            return _window_sums_fused(points, plan, occs), c
+    return _all_window_sums(points, plan["digits"], c), c
 
 
 def msm(points: APoint, scalars_mont, c: int | None = None) -> JPoint:
@@ -646,16 +769,38 @@ def msm(points: APoint, scalars_mont, c: int | None = None) -> JPoint:
     ``c``: Pippenger window bits (None = size to N via _auto_c; the result
     is identical for any c). On TPU, near-uniform digit distributions take
     the fused bucket kernel (buckets resident in VMEM, points streamed once
-    per window, occupancy-grouped grid depths); pathologically skewed ones
+    per window, occupancy-grouped grid depths, digits pre-sorted for all
+    windows in one batched lax.sort); pathologically skewed ones
     (e.g. counter polynomials, where one bucket swallows most points) take
     per-value grouping or the batched while-loop whose step count is max
     occupancy. Many independent MSMs should go through msm_batch_ints,
-    which amortizes the host gating round across the whole batch.
+    which amortizes the host gating rounds across the whole batch.
     """
     plan = _plan_msm(points, scalars_mont, c)
-    got = jax.device_get(plan["fetch"])
-    sums, c_eff = _sums_from_plan(plan, got)
+    got1 = jax.device_get(plan["fetch"])
+    fetch2 = _plan_sort(plan, got1)
+    got2 = jax.device_get(fetch2)
+    sums, c_eff = _sums_from_plan(plan, got2)
     return _horner_host(sums, c_eff)
+
+
+def _batch_chunks(jobs, chunk: int, budget_elems: int = 1 << 26):
+    """Split ``jobs`` into runs of <= ``chunk`` jobs whose summed digit
+    buffers (nw * N u32 per job) stay under ``budget_elems`` (~256 MB of
+    u32): a fixed 64-job chunk of 2^20-point jobs would otherwise keep
+    several GB of speculative digit/occupancy state live at once."""
+    runs, cur, cur_elems = [], [], 0
+    for job in jobs:
+        n = job[0].x.shape[0]
+        est = _n_windows(_auto_c(n)) * n
+        if cur and (len(cur) >= chunk or cur_elems + est > budget_elems):
+            runs.append(cur)
+            cur, cur_elems = [], 0
+        cur.append(job)
+        cur_elems += est
+    if cur:
+        runs.append(cur)
+    return runs
 
 
 def msm_batch_ints(jobs, chunk: int = 64) -> list:
@@ -663,26 +808,29 @@ def msm_batch_ints(jobs, chunk: int = 64) -> list:
     (APoint batch, Fr-Montgomery scalars [N, 16]) pairs; returns one
     affine (x, y) int pair per job ((0, 0) = infinity).
 
-    The whole batch costs TWO blocking fetch rounds per ``chunk`` jobs —
-    one device_get of every job's path-gating stats, then one fetch of all
-    window sums concatenated through a single batched to_affine — instead
-    of msm()'s ~2-3 round-trips per call. Through the TPU relay that
-    difference was 82% of the Jolt prover's commit-phase wall (222
-    per-commit MSMs x ~0.4 s of host round-trips; README 'Performance').
-    The group math is identical to per-call msm(); only the fetch schedule
-    differs. ``chunk`` bounds live digit-buffer memory (nw*N u32 per job).
+    The whole batch costs THREE blocking fetch rounds per ``chunk`` jobs —
+    path-gating stats, occupancies (only for jobs taking the fused path),
+    then one fetch of all window sums concatenated through a single
+    batched to_affine — instead of msm()'s round-trips per call. Through
+    the TPU relay that difference was 82% of the Jolt prover's
+    commit-phase wall (222 per-commit MSMs x ~0.4 s of host round-trips;
+    README 'Performance'). The group math is identical to per-call msm();
+    only the fetch schedule differs. ``chunk`` bounds live digit-buffer
+    memory (nw*N u32 per job), and a byte budget further shrinks runs
+    containing large jobs (_batch_chunks).
 
     Maps the reference's batch_msm (co-spartan/src/worker.rs:801-804,
     co-jolt's batch-committed polynomials) — there a rayon loop over CPU
     cores, here a dispatch-then-fetch schedule over one accelerator.
     """
     out = []
-    for lo in range(0, len(jobs), chunk):
-        batch = jobs[lo:lo + chunk]
+    for batch in _batch_chunks(jobs, chunk):
         plans = [_plan_msm(p, s, None) for p, s in batch]
-        got_all = jax.device_get([pl["fetch"] for pl in plans])
+        got1_all = jax.device_get([pl["fetch"] for pl in plans])
+        fetch2 = [_plan_sort(pl, g1) for pl, g1 in zip(plans, got1_all)]
+        got2_all = jax.device_get(fetch2)
         sums, eff = [], []
-        for pl, got in zip(plans, got_all):
+        for pl, got in zip(plans, got2_all):
             s_i, c_i = _sums_from_plan(pl, got)
             sums.append(s_i)
             eff.append(c_i)

@@ -19,7 +19,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# COZK_TEST_PLATFORM=tpu runs the suite against the real chip (used for
+# on-chip validation of TPU-only paths like the fused MSM bucket kernel):
+# leave the interpreter-start platform (the TPU plugin) untouched.
+# Default: force the 8-device virtual CPU mesh.
+if os.environ.get("COZK_TEST_PLATFORM", "cpu") != "tpu":
+    jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: the limb kernels compile once across runs.
 # Keyed by a CPU fingerprint: XLA:CPU AOT results baked for another host
 # load anyway and then SIGILL/segfault mid-suite (the repo directory

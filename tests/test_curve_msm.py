@@ -104,18 +104,33 @@ import jax as _jax
                     reason="pallas interpret mode is impractically slow on "
                            "CPU; the kernel is validated bit-exactly vs the "
                            "while-loop path on real TPU (.claude notes)")
-def test_fused_bucket_path(rng):
-    """Fused VMEM bucket kernel == while-loop path (TPU only)."""
-    c, n = 4, 24
+@pytest.mark.parametrize("c", [4, 6])
+def test_fused_bucket_path(rng, c):
+    """Fused VMEM bucket kernel == while-loop path (TPU only). c=4 takes
+    the small-width suffix weighted sum, c=6 the hi/lo digit-split one."""
+    n = 24
     pts = ref_points(rng, n)
     scalars = [rng.randrange(bn.R_ORDER) for _ in range(n)]
     scalars[3] = 0
     dp = to_device(pts)
     ds = F.from_int(F.FR, scalars)
-    digits = M.window_digits(ds, c)
-    occs = [int(v) for v in _jax.device_get(M._occupancies(digits, c))]
-    fused = M._window_sums_fused(dp, digits, c, occs)
-    base = M._all_window_sums(dp, digits, c)
+    plan = M._plan_msm(dp, ds, c)
+    fetch2 = M._plan_sort(plan, _jax.device_get(plan["fetch"]))
+    assert plan["path"] in ("fused", "loop")
+    if plan["path"] == "loop":       # n too small for the fused gate:
+        plan["path"] = "fused"       # force it — that's what this test is for
+        digits = plan["digits"]
+        nw = M._n_windows(c)
+        dig2, kb, k_split, nb_top = M._top_regroup(digits, c)
+        top_row = digits[nw - 1] if k_split == 1 else dig2
+        rows = jnp.concatenate([digits[: nw - 1], top_row[None]], axis=0)
+        srt, order = M._sort_rows(rows)
+        plan.update(ds=srt, order=order, kb=kb, k_split=k_split,
+                    nb_top=nb_top)
+        fetch2 = {"occs": M._occs_from_sorted(srt, c)}
+    occs = [int(v) for v in _jax.device_get(fetch2["occs"])]
+    fused = M._window_sums_fused(dp, plan, occs)
+    base = M._all_window_sums(dp, M.window_digits(ds, c), c)
     got = C.points_to_ints(C.to_affine(fused))
     want = C.points_to_ints(C.to_affine(base))
     assert got == want
@@ -226,6 +241,57 @@ def test_msm_by_value_counter_path(rng):
         M._all_window_sums(pts, M.window_digits(scalars, 8), 8), 8)
     assert C.points_to_ints(C.to_affine(got)) == \
         C.points_to_ints(C.to_affine(want))
+
+
+@pytest.mark.slow
+def test_msm_batch_ints_matches_per_call(rng):
+    """msm_batch_ints over heterogeneous jobs == per-call msm(): mixed
+    sizes, counter-valued scalars, all-zero scalars (infinity results),
+    and chunk boundaries (chunk=3 over 8 jobs exercises the aff offset
+    bookkeeping across several flush rounds)."""
+    from co_zkvms_tpu.ops import ref_bn254 as bn
+
+    g = C.points_from_ints([bn.g1_coords(bn.G1_GEN)])
+    g1 = C.APoint(g.x[0], g.y[0])
+
+    def mk_job(n, kind, seed):
+        exps = F.random(FR, jax.random.key(seed), (n,))
+        pts = C.to_affine(M.fixed_base_msm(g1, exps))
+        if kind == "zero":
+            sc = F.from_int(FR, [0] * n)
+        elif kind == "counter":
+            sc = F.from_int(FR, [rng.choice([0, 1, 1, 2, 5])
+                                 for _ in range(n)])
+        else:
+            sc = F.random(FR, jax.random.key(seed + 1000), (n,))
+        return pts, sc
+
+    jobs = [
+        mk_job(16, "rand", 1), mk_job(64, "counter", 2),
+        mk_job(24, "zero", 3), mk_job(160, "rand", 4),
+        mk_job(16, "rand", 5), mk_job(96, "counter", 6),
+        mk_job(32, "rand", 7), mk_job(48, "zero", 8),
+    ]
+    got = M.msm_batch_ints(jobs, chunk=3)
+    want = [C.points_to_ints(C.to_affine(M.msm(p, s)))[0] for p, s in jobs]
+    assert got == want
+
+
+def test_batch_chunks_budget():
+    """_batch_chunks respects both the job-count cap and the element
+    budget (a run never mixes enough large jobs to blow digit memory)."""
+
+    class _Fake:
+        def __init__(self, n):
+            self.x = jnp.zeros((n, 16), jnp.uint32)
+
+    jobs = [((_Fake(1 << 14)), None) for _ in range(6)]
+    runs = M._batch_chunks(jobs, chunk=64, budget_elems=1_250_000)
+    assert [len(r) for r in runs] == [2, 2, 2]     # budget-bound
+    assert sum(len(r) for r in runs) == 6
+    jobs = [((_Fake(16)), None) for _ in range(10)]
+    runs = M._batch_chunks(jobs, chunk=4)
+    assert [len(r) for r in runs] == [4, 4, 2]     # count-bound
 
 
 @pytest.mark.skipif(_jax.default_backend() != "tpu",
