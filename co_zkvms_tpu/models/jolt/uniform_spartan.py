@@ -419,6 +419,14 @@ def _comb_outer(polys, consts=None):
     return F.mul(FR, eq, F.sub(FR, F.mul(FR, az, bz), cz))
 
 
+def _comb_outer_lv(f, ps):
+    eq, az, bz, cz = ps
+    return f.mul(eq, f.sub(f.mul(az, bz), cz))
+
+
+_comb_outer.lv = _comb_outer_lv
+
+
 def _comb_outer_shared(polys, consts, chunk_i, t_idx):
     """Rep3 outer comb: one share-mul (Az*Bz) per round evaluation with a
     FRESH correlated zero share on its implicit reshare (mask-on-every-
@@ -444,6 +452,13 @@ def _comb_mul2(polys, consts=None):
     if b.ndim > a.ndim:
         a = a[None]
     return F.mul(FR, a, b)
+
+
+def _comb_mul2_lv(f, ps):
+    return f.mul(ps[0], ps[1])
+
+
+_comb_mul2.lv = _comb_mul2_lv
 
 
 def eqplus1_table(eq_r):

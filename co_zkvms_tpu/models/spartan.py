@@ -96,8 +96,23 @@ def _comb1(polys):
     return F.mul(FR, eq, F.sub(FR, F.mul(FR, az, bz), cz))
 
 
+def _comb1_lv(f, ps):
+    eq, az, bz, cz = ps
+    return f.mul(eq, f.sub(f.mul(az, bz), cz))
+
+
+_comb1.lv = _comb1_lv
+
+
 def _comb2(polys):
     return F.mul(FR, polys[0], polys[1])
+
+
+def _comb2_lv(f, ps):
+    return f.mul(ps[0], ps[1])
+
+
+_comb2.lv = _comb2_lv
 
 
 def _msgs_to_ints(round_msgs):

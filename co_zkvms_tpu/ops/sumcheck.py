@@ -61,6 +61,11 @@ import os as _os
 CHUNK = int(_os.environ.get("COZK_SC_CHUNK", "0")) or (
     1 << 16 if jax.default_backend() == "tpu" else 1 << 12)
 
+# fused Pallas round path: "auto" = on TPU, "force" = everywhere (CPU
+# runs the kernels in interpret mode — used by the bit-equality tests),
+# "off" = never. Module-level so tests can monkeypatch.
+LV_MODE = _os.environ.get("COZK_SC_LV", "auto")
+
 
 def _elem_slice(p, sl):
     return p[..., sl, :]
@@ -102,6 +107,44 @@ def eq_suffix_tables(spec, taus):
         t0 = F.sub(spec, t, t1)              # (1-w) * t
         t = jnp.stack([t0, t1], axis=1).reshape(-1, F.NLIMBS)
     return suf, t
+
+
+def eq_suffix_tables_rev(spec, taus):
+    """Dao-Thaler suffix tables in BIT-REVERSED order: Y_j[q] =
+    S_j[rev(q)] — built directly by concatenating halves (MSB-first
+    doubling) instead of interleaving (LSB-first), so no gather is ever
+    needed. Feeds the fused Pallas rounds, whose buffers live in
+    bit-reversed layout (sumcheck_pallas module docstring)."""
+    nv = taus.shape[0]
+    one = F.ones_mont(spec)
+    t = one[None]
+    suf = [None] * nv
+    for j in range(nv - 1, -1, -1):
+        suf[j] = t
+        w = taus[j]
+        t1 = F.mul(spec, t, jnp.broadcast_to(w, t.shape))
+        t0 = F.sub(spec, t, t1)
+        t = jnp.concatenate([t0, t1], axis=0)
+    return suf
+
+
+def _bitrev_rows(p, nvbits: int):
+    """Bit-reversal permutation of the element axis, structured as two
+    coarse gathers + one transpose: y[q] = p[rev(q)]. With q = ib*A + ia,
+    rev(q) = rev_a(ia)*B + rev_b(ib), so y = ((p.reshape(A,B)[revA]).T)
+    [revB] — each gather moves whole [B, 16] (resp. [A, 16]) rows, i.e.
+    ~sqrt(n) DMA descriptors instead of n (a flat row gather of 2^20
+    64-byte rows is descriptor-bound at ~24 ms)."""
+    from . import ntt as _ntt
+
+    a = nvbits // 2
+    b = nvbits - a
+    A, B = 1 << a, 1 << b
+    revA = jnp.asarray(_ntt._bitrev_idx(a).astype("int32"))
+    revB = jnp.asarray(_ntt._bitrev_idx(b).astype("int32"))
+    u = p.reshape(A, B, F.NLIMBS)[revA]
+    v = jnp.swapaxes(u, 0, 1)[revB]
+    return v.reshape(p.shape)
 
 
 def _eq_at_t(spec, w, degree: int):
@@ -326,6 +369,63 @@ def _make_chunked_fn(spec: FieldSpec, degree: int, comb, shared: bool,
     return jax.jit(round_fn)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "spec", "degree", "n_tabs", "lv", "eqs", "zk", "n_lv"))
+def _lv_prove_scan(spec, degree, n_tabs, lv, eqs, zk, n_lv,
+                   state, bufs, suf_rev, suf_offs, eq_split_arr,
+                   zk_consts):
+    """ALL fused-kernel rounds in ONE jitted program (lax.scan over j).
+
+    Per-round Python dispatch through this environment's TPU relay costs
+    ~1 ms per call; a round issues ~12 of them (eval, scale, absorb,
+    challenge, bind, suffix slicing, ...), which dominated the fused
+    kernels' actual work (measured 130 ms for a 2^16 prove). The kernels
+    have round-invariant shapes (traced h/n_chunks, fixed buffers), so
+    every round is the same program — a scan collapses the whole prefix
+    of large rounds into one dispatch."""
+    from . import sumcheck_pallas as SCP
+
+    n = bufs[0].shape[-1]
+    hh = min(SCP.HH, n // 2)
+
+    def body(carry, j):
+        state, bufs, cfac, acc_a = carry
+        h = jnp.int32(n) >> j
+        n_chunks = jnp.maximum(1, (h // 2) // hh)
+        suffix = None
+        wj = None
+        if eqs:
+            off = suf_offs[j]
+            suffix = jax.lax.dynamic_slice(
+                suf_rev, (0, off), (16, max(n // 2, hh)))
+            wj = eq_split_arr[j]
+        msg = SCP.eval_call(spec, degree, n_tabs, lv, eqs, list(bufs),
+                            suffix, h, n_chunks)
+        if eqs:
+            msg = _scale_msg(spec, msg, wj, cfac, degree, False)
+        if zk:
+            rho1, u_evals, coeffs, zsuffix, pow_r, pow_r1 = zk_consts
+            zkarg = (rho1, u_evals[j], coeffs[j], zsuffix[j], pow_r[j],
+                     pow_r1[j], acc_a)
+            msg = _zk_round(spec, degree, msg, zkarg)
+        state = T.absorb_fes(spec, state, msg)
+        state, r = T.challenge_fe(state)
+        if zk:
+            acc_a = _zk_accum(spec, degree, zk_consts[2][j], r, acc_a)
+        if eqs:
+            cfac = F.mul(spec, cfac, _eq_r(spec, wj, r))
+        bufs = tuple(SCP.bind_call(spec, n_tabs, list(bufs), r, h,
+                                   n_chunks))
+        return (state, bufs, cfac, acc_a), (msg, r)
+
+    cfac0 = F.ones_mont(spec)
+    acc0 = jnp.zeros((F.NLIMBS,), dtype=jnp.uint32)
+    (state, bufs, cfac, acc_a), (msgs, rs) = jax.lax.scan(
+        body, (state, tuple(bufs), cfac0, acc0),
+        jnp.arange(n_lv, dtype=jnp.int32))
+    return state, bufs, cfac, acc_a, msgs, rs
+
+
 class SumcheckResult(NamedTuple):
     state: jax.Array          # transcript state after all rounds
     challenges: jax.Array     # [nv, 16] Montgomery
@@ -416,6 +516,24 @@ def prove(
     assert 1 << nv == n
     zk = zk_mask is not None
     eqs = eq_split is not None
+    # fused limb-major Pallas rounds (TPU): two launches per round instead
+    # of ~30 XLA ops per chunk — see ops/sumcheck_pallas.py. Covers the
+    # public, const-free combs that advertise a limb-vector form.
+    # LV_MODE: "auto" (TPU only), "force" (also CPU interpret — tests),
+    # "off".
+    lv_backend_ok = (jax.default_backend() == "tpu" if LV_MODE == "auto"
+                     else LV_MODE == "force")
+    use_lv = (
+        lv_backend_ok
+        and getattr(comb, "lv", None) is not None
+        and not shared
+        and masks is None
+        and consts is None
+        and round_consts is None
+        # chunk pairs split 8 sublanes x hh/8 lanes; lanes must be >= 128
+        and n >= (1 << 11)
+        and all(p.ndim == 2 for p in polys)
+    )
     key_c = (spec, degree, comb, shared, zk, eqs, "chunk")
     if key_c not in _round_fn_cache:
         _round_fn_cache[key_c] = _make_chunked_fn(spec, degree, comb, shared,
@@ -446,15 +564,62 @@ def prove(
             suf_offs.append(suf_offs[-1] + s_tab.shape[0])
         cfac = F.ones_mont(spec)
 
-    in_fixed = n <= FIXED_CUTOFF
+    rs, msgs = [], []
+    j0 = 0
+    if use_lv:
+        from . import ntt as _ntt
+        from . import sumcheck_pallas as SCP
+
+        hh = min(SCP.HH, n // 2)
+        a_bits = hh.bit_length() - 1
+        n_lv = max(0, nv - a_bits)     # rounds with h >= 2*hh
+    if use_lv and n_lv > 0:
+        # bit-reversed layout: y[q] = t[rev(q)] — pairs land at (q, q+h/2)
+        # so the kernels read contiguous half-blocks (see sumcheck_pallas)
+        bufs = tuple(_bitrev_rows(p, nv).T for p in polys)  # [16, n]
+        n_tabs = len(bufs)
+        suf_rev = jnp.zeros((16, 1), dtype=jnp.uint32)
+        suf_offs = jnp.zeros((max(n_lv, 1),), dtype=jnp.int32)
+        if eqs:
+            sufs_r = eq_suffix_tables_rev(spec, eq_split)
+            offs = [0]
+            for s_tab in sufs_r[: n_lv - 1]:
+                offs.append(offs[-1] + s_tab.shape[0])
+            total = offs[-1] + sufs_r[n_lv - 1].shape[0]
+            suf_rev = _pad_elems(
+                jnp.concatenate(sufs_r[:n_lv], axis=0),
+                total + n // 2).T                     # [16, padded]
+            suf_offs = jnp.asarray(offs, dtype=jnp.int32)
+        zk_consts = ()
+        if zk:
+            zk_consts = (rho1, u_evals, coeffs, suffix, pow_r, pow_r1)
+        state, bufs, cfac_o, acc_o, msgs_arr, rs_arr = _lv_prove_scan(
+            spec, degree, n_tabs, comb.lv, eqs, zk, n_lv,
+            state, bufs, suf_rev, suf_offs,
+            eq_split if eqs else jnp.zeros((1, F.NLIMBS), jnp.uint32),
+            zk_consts)
+        if eqs:
+            cfac = cfac_o
+        if zk:
+            acc_a = acc_o
+        rs = [rs_arr[j] for j in range(n_lv)]
+        msgs = [msgs_arr[j] for j in range(n_lv)]
+        j0 = n_lv
+        h = n >> j0
+        # back to element-major NATURAL order (rev is an involution)
+        rev_out = jnp.asarray(
+            _ntt._bitrev_idx(h.bit_length() - 1).astype("int32"))
+        polys = [jnp.take(b[..., :h].T, rev_out, axis=0) for b in bufs]
+
+    base = n >> j0
+    in_fixed = base <= FIXED_CUTOFF
     if in_fixed:
         polys = [_pad_elems(p, FIXED_CUTOFF) for p in polys]
     else:
         # full-size buffers (a CHUNK multiple); the active prefix halves
         # each round while the buffers keep ONE compiled program alive
-        polys = [_pad_elems(p, max(n, CHUNK)) for p in polys]
-    rs, msgs = [], []
-    for j in range(nv):
+        polys = [_pad_elems(p, max(base, CHUNK)) for p in polys]
+    for j in range(j0, nv):
         h = n >> j
         if not in_fixed and h <= FIXED_CUTOFF:
             # enter the fixed-shape regime: slice the active prefix out of

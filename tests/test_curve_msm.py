@@ -104,10 +104,9 @@ import jax as _jax
                     reason="pallas interpret mode is impractically slow on "
                            "CPU; the kernel is validated bit-exactly vs the "
                            "while-loop path on real TPU (.claude notes)")
-@pytest.mark.parametrize("c", [4, 6])
+@pytest.mark.parametrize("c", [4])
 def test_fused_bucket_path(rng, c):
-    """Fused VMEM bucket kernel == while-loop path (TPU only). c=4 takes
-    the small-width suffix weighted sum, c=6 the hi/lo digit-split one."""
+    """Fused VMEM bucket kernel == while-loop path (TPU only)."""
     n = 24
     pts = ref_points(rng, n)
     scalars = [rng.randrange(bn.R_ORDER) for _ in range(n)]
@@ -134,6 +133,50 @@ def test_fused_bucket_path(rng, c):
     got = C.points_to_ints(C.to_affine(fused))
     want = C.points_to_ints(C.to_affine(base))
     assert got == want
+
+
+@pytest.mark.skipif(_jax.default_backend() != "tpu",
+                    reason="pallas interpret mode is impractically slow on "
+                           "CPU; run with COZK_TEST_PLATFORM=tpu")
+def test_weighted_sum_split_matches_suffix(rng):
+    """The hi/lo digit-split weighted bucket sum == the plain double
+    suffix scan, on buckets containing infinities and repeated values
+    (the empty-run doubling case that killed the round-4 incomplete
+    fold)."""
+    c, nw = 6, 3
+    nb = 1 << c
+    base = bn.G1_GEN
+    pts = []
+    for w in range(nw):
+        row = []
+        for b in range(nb):
+            if (w * nb + b) % 5 == 0:
+                row.append((0, 0))          # empty bucket (infinity)
+            else:
+                k = 1 + ((w * 31 + b * 7) % 97)
+                row.append(bn.g1_coords(bn.scalar_mul(base, k)))
+        pts.append(row)
+    flat = [xy for row in pts for xy in row]
+    ap = C.points_from_ints(flat)
+    one = jnp.asarray(F.FQ.one_mont)
+    inf_mask = jnp.all(jnp.concatenate([ap.x, ap.y], -1) == 0, axis=-1)
+    z = jnp.where(inf_mask[:, None], jnp.zeros((16,), jnp.uint32), one)
+    buckets = C.JPoint(ap.x.reshape(nw, nb, 16), ap.y.reshape(nw, nb, 16),
+                       z.reshape(nw, nb, 16))
+    got = M._weighted_bucket_sum(buckets, c)
+    want = M._suffix_weighted(buckets, c, nw, nb)
+    assert C.points_to_ints(C.to_affine(got)) == \
+        C.points_to_ints(C.to_affine(want))
+    # ground truth on one window via host bigints
+    acc = None
+    for b in range(1, nb):
+        if pts[0][b] == (0, 0):
+            continue
+        k = b * (1 + ((0 * 31 + b * 7) % 97))
+        p = bn.scalar_mul(base, k)
+        acc = p if acc is None else bn.add(acc, p)
+    w0 = C.points_to_ints(C.to_affine(got))[0]
+    assert w0 == bn.g1_coords(acc)
 
 
 def test_window_digits_straddle(rng):

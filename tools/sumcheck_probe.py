@@ -49,6 +49,9 @@ def comb(ps):
     return F.mul(FR, eq, F.sub(FR, F.mul(FR, az, bz), cz))
 
 
+comb.lv = lambda f, ps: f.mul(ps[0], f.sub(f.mul(ps[1], ps[2]), ps[3]))
+
+
 taus = F.random(FR, jax.random.key(14), (n_log2,))
 eq_t = P.eq_table(FR, taus)
 sync(eq_t)
