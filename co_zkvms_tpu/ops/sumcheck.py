@@ -61,10 +61,15 @@ import os as _os
 CHUNK = int(_os.environ.get("COZK_SC_CHUNK", "0")) or (
     1 << 16 if jax.default_backend() == "tpu" else 1 << 12)
 
-# fused Pallas round path: "auto" = on TPU, "force" = everywhere (CPU
-# runs the kernels in interpret mode — used by the bit-equality tests),
-# "off" = never. Module-level so tests can monkeypatch.
-LV_MODE = _os.environ.get("COZK_SC_LV", "auto")
+# fused Pallas round path (sumcheck_pallas.py): "auto" = on TPU,
+# "force" = everywhere (CPU interpret — tests), "off" = never.
+# DEFAULT OFF: the kernels are bit-correct but currently run at
+# ~0.25 ms per grid step of fixed overhead on the v5e relay (measured
+# r5: 246 ms for a 2^20 prove vs 217 ms on the XLA chunked engine), so
+# the fused path does not yet beat the engine it replaces. Kept as a
+# gated experimental path with kernel-level and full-prove equality
+# tests; flip COZK_SC_LV=auto to re-enable on TPU.
+LV_MODE = _os.environ.get("COZK_SC_LV", "off")
 
 
 def _elem_slice(p, sl):

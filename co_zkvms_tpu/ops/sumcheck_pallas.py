@@ -57,7 +57,7 @@ from .field import FieldSpec
 # lanes per chunk PAIR: sized so a degree-3 3-table comb's working set
 # stays inside VMEM with double buffering (hh=8192 hit a 43 MB scoped
 # stack vs the 16 MB default; 4096 fits under the raised 48 MB cap)
-HH = 1 << 12
+HH = 1 << 13
 _VMEM_LIMIT = 48 * 1024 * 1024
 
 
