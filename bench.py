@@ -494,12 +494,20 @@ def main():
 
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--sub":
+        import jax
+
+        # set the persistent compile cache EXPLICITLY: this environment's
+        # sitecustomize imports jax before the env var is visible to its
+        # config layer, so JAX_COMPILATION_CACHE_DIR alone is silently
+        # ignored — which made every driver bench sub recompile from
+        # scratch (r4's spartan/jolt timeouts; 450 s msm warmups with a
+        # fully warmed cache directory sitting right there)
+        jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
         if os.environ.get("BENCH_PLATFORM"):
             # JAX_PLATFORMS is latched to the TPU plugin at interpreter
             # start by this environment's sitecustomize; tests force CPU
             # through the config instead
-            import jax
-
             jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
         name = sys.argv[2]
         args = [int(a) for a in sys.argv[3:]]
